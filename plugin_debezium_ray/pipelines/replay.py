@@ -1,0 +1,248 @@
+"""ReplayJob — the engine's task/trigger surface (SURVEY.md §3).
+
+One job object with the reference's three surfaces
+(`AbstractDebeziumInterface` shared property schema, SURVEY.md §2.8):
+
+- ``run()``        — batch capture (Capture.run, `AbstractDebeziumTask.java:185-284`)
+- ``poll()``       — polling trigger: incremental run, result only when
+                     events were applied (`AbstractDebeziumTrigger`, size>0 gate)
+- ``iter_events()``— realtime trigger: per-record streaming iterator
+                     (`AbstractDebeziumRealtimeTrigger.java:117-186`)
+
+Pipeline (one hash shuffle total — SURVEY.md §7.3):
+
+    envelopes ─ map_batches(project_for_apply: decode + ledger filter +
+                per-batch LWW pre-reduce)            [stateless tasks]
+              ─ groupby(_bucket).map_groups(BucketMerge)   [the shuffle]
+              ─ per-bucket Parquet write (deterministic names)
+              ─ tiny stats Dataset → manifest → atomic checkpoint commit
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from plugin_debezium_ray.config import CaptureConfig, OffsetCommitMode, SnapshotMode
+from plugin_debezium_ray.envelope import payload_fields_of
+from plugin_debezium_ray.stages.apply import (
+    BUCKET_COL,
+    BucketMerge,
+    project_for_apply,
+)
+from plugin_debezium_ray.stages.decode import EnvelopeDecoder
+from plugin_debezium_ray.state.checkpoint import CheckpointManager, build_manifest
+from plugin_debezium_ray.state.schema_registry import registry_from_envelopes
+
+
+@dataclass
+class ReplayResult:
+    version: int
+    events_applied: int  # LWW winners applied (upserts + deletes)
+    events_seen: int  # raw records consumed past the ledger (Output.size)
+    buckets_touched: int
+    manifest_path: str | None
+    table_dir: str
+    elapsed_seconds: float
+    metrics: dict = field(default_factory=dict)
+
+    @property
+    def size(self) -> int:  # the reference Output.size analogue
+        return self.events_seen
+
+
+class ReplayJob:
+    """Applies an envelope stream into the lake table at ``table_dir``.
+
+    ``table_dir`` layout (resumable output, SURVEY.md 'Resumable output'):
+        data/v{N}/bucket=NNNNN.parquet   — bucket files of commit N
+        _meta/manifest-v{N}.json         — per-commit manifest
+        _meta/CURRENT                    — atomic pointer
+    """
+
+    def __init__(
+        self,
+        config: CaptureConfig,
+        table_dir: str,
+        *,
+        connector_id: str | None = None,
+        needs_schema_history: bool = True,
+        fingerprint_col: str = "content",
+    ):
+        self.cfg = config
+        self.table_dir = table_dir
+        self.connector_id = connector_id
+        self.ckpt = CheckpointManager(
+            table_dir, needs_schema_history=needs_schema_history
+        )
+        self.fingerprint_col = fingerprint_col
+
+    # ------------------------------------------------------------- run
+
+    def run(
+        self,
+        envelopes: "ray.data.Dataset",
+        *,
+        snapshot: "ray.data.Dataset | None" = None,
+    ) -> ReplayResult:
+        """One batch capture: restore state → schema replay → apply →
+        atomic commit.  Idempotent: rerunning with the same envelopes
+        applies zero events (the CaptureTest.java:97-99 contract)."""
+        t0 = time.monotonic()
+        cfg = self.cfg
+        parent = self.ckpt.restore()
+        ledger = self.ckpt.ledger() if parent else {}
+        prior_paths = self.ckpt.bucket_paths() if parent else {}
+        version = (int(parent["version"]) + 1) if parent else 1
+
+        # schema-history replay over the tiny DDL sub-stream (ST3)
+        base_fields = [
+            (f.name, str(f.type))
+            for f in payload_fields_of(_env_schema(envelopes))
+        ]
+        reg = registry_from_envelopes(
+            envelopes,
+            base_fields,
+            prior_snapshot=(parent or {}).get("schema"),
+            max_lsn=cfg.max_lsn,
+        )
+        renames, added = reg.rename_map(), reg.added_columns()
+
+        ds = envelopes
+        if cfg.max_records is not None:
+            # soft record bound — post-snapshot only, like
+            # AbstractDebeziumTask.java:617-621 (snapshot joins below it)
+            ds = ds.limit(cfg.max_records)
+        mode = cfg.snapshot_mode
+        if snapshot is not None and parent is None and mode in (
+            SnapshotMode.INITIAL,
+            SnapshotMode.ALWAYS,
+            SnapshotMode.WHEN_NEEDED,
+            SnapshotMode.INITIAL_ONLY,
+        ):
+            ds = snapshot if mode == SnapshotMode.INITIAL_ONLY else snapshot.union(ds)
+        if mode == SnapshotMode.NO_DATA:
+            # schema-only: commit the registry snapshot, apply nothing
+            manifest = build_manifest(
+                version=version,
+                connector_id=self.connector_id,
+                stats_rows=[],
+                parent=parent,
+                schema_snapshot=reg.snapshot(),
+            )
+            mpath = self.ckpt.save(manifest)
+            return ReplayResult(version, 0, 0, 0, mpath, self.table_dir,
+                                time.monotonic() - t0)
+
+        proj = project_for_apply(
+            cfg.key_cols,
+            cfg.num_buckets,
+            ledger=ledger,
+            max_lsn=cfg.max_lsn,
+            renames=renames,
+            added_columns=added,
+        )
+        applied = ds.map_batches(
+            proj, batch_format="pyarrow", batch_size=cfg.batch_size
+        )
+
+        data_dir = os.path.join(self.table_dir, "data")
+        merge = BucketMerge(
+            cfg.key_cols,
+            data_dir,
+            f"v{version:06d}",
+            prior_paths=prior_paths,
+            ledger=ledger,
+            fingerprint_col=self.fingerprint_col,
+        )
+        def merge_bucket(group: pa.Table) -> pa.Table:
+            return merge(group)
+
+        stats = applied.groupby(BUCKET_COL).map_groups(
+            merge_bucket, batch_format="pyarrow"
+        )
+        stats_rows = stats.take_all()  # ≤ num_buckets tiny rows
+
+        manifest = build_manifest(
+            version=version,
+            connector_id=self.connector_id,
+            stats_rows=stats_rows,
+            parent=parent,
+            schema_snapshot=reg.snapshot(),
+            extra_metrics={"wall_seconds": time.monotonic() - t0},
+        )
+        mpath = self.ckpt.save(manifest)
+        return ReplayResult(
+            version,
+            int(manifest["metrics"]["events_applied"]),
+            int(manifest["metrics"]["events_seen"]),
+            int(manifest["metrics"]["buckets_touched"]),
+            mpath,
+            self.table_dir,
+            time.monotonic() - t0,
+            metrics=manifest["metrics"],
+        )
+
+    def run_segments(
+        self,
+        segment_groups: list["ray.data.Dataset"],
+        **kw,
+    ) -> list[ReplayResult]:
+        """ON_EACH_BATCH commit cadence (ST4): one atomic commit per
+        segment group; ON_STOP is a single ``run`` over the union.  Both
+        cadences converge to the identical final state (idempotency)."""
+        if self.cfg.offset_commit_mode == OffsetCommitMode.ON_STOP:
+            ds = segment_groups[0]
+            for other in segment_groups[1:]:
+                ds = ds.union(other)
+            return [self.run(ds, **kw)]
+        return [self.run(g, **kw) for g in segment_groups]
+
+    # ------------------------------------------------------------ poll
+
+    def poll(self, envelopes: "ray.data.Dataset", **kw) -> ReplayResult | None:
+        """Polling-trigger surface: returns the result only if events were
+        applied (`AbstractDebeziumTrigger` evaluates to an execution only
+        when size > 0, Trigger.java:99-112)."""
+        res = self.run(envelopes, **kw)
+        return res if res.size > 0 else None
+
+    # ------------------------------------------------------ streaming
+
+    def iter_events(self, envelopes: "ray.data.Dataset", *, batch_size: int = 4096):
+        """Realtime-trigger surface: yields ``{"stream": s, "data": row}``
+        per formatted record, streaming with backpressure (K2,
+        `ChangeConsumer.java:147-160`).  Never materializes the stream."""
+        decoder = EnvelopeDecoder(self.cfg)
+        decoded = envelopes.map_batches(
+            decoder, batch_format="pyarrow", batch_size=batch_size
+        )
+        for batch in decoded.iter_batches(
+            batch_size=batch_size, batch_format="pyarrow"
+        ):
+            streams = batch["_stream"].to_pylist()
+            rows = batch.drop_columns(["_stream"]).to_pylist()
+            for s, row in zip(streams, rows):
+                yield {"stream": s, "data": row}
+
+    # ------------------------------------------------------- read back
+
+    def read_table(self) -> "ray.data.Dataset":
+        """The committed lake table as a Dataset (manifest-gated files)."""
+        paths = sorted(self.ckpt.bucket_paths().values())
+        if not paths:
+            raise FileNotFoundError(f"no committed state under {self.table_dir}")
+        return ray.data.read_parquet(paths)
+
+
+def _env_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    sch = ds.schema()
+    return pa.schema(
+        [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+    )

@@ -1,0 +1,330 @@
+"""Keyed last-write-wins apply — the upsert merge (SURVEY.md §2.5/§2.6).
+
+The reference gets ordering/idempotence from a single consumer thread +
+offset restore (`ChangeConsumer.java:70-95`, `AbstractDebeziumTask.java:640-693`).
+We shard it: ordering is only required per primary key, so
+
+  1. ``project_for_apply`` (map_batches, Arrow): envelope → narrow apply
+     rows (bucket, key, lsn, seq, deleted, payload) — drops DDL/tombstones.
+  2. **per-batch pre-reduce**: within each batch keep only the winning
+     (max (lsn, seq)) event per key.  LWW is a semigroup, so this partial
+     reduce is lossless and shrinks the ONE hash shuffle that follows.
+  3. ``groupby("_bucket").map_groups(merge)``: per bucket — ledger-filter
+     already-applied events, final LWW dedup, merge with the bucket's
+     prior Parquet state, write a deterministic new bucket file, return a
+     stats/lineage row (ST6 metrics).
+
+Exactly-once under retries (SURVEY.md §7.4 #1): events ≤ ledger are
+skipped (idempotent replay) and bucket files have deterministic names
+gated by the manifest commit (idempotent task retry).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from plugin_debezium_ray.envelope import DELETED_OPS, OP_DDL
+from plugin_debezium_ray.functions.hashing import bucket_of
+
+BUCKET_COL = "_bucket"
+WEIGHT_COL = "_weight"
+_KEY_SEP = "\x1f"
+
+APPLY_STATS_FIELDS = [
+    ("bucket", pa.int32()),
+    ("rows", pa.int64()),
+    ("events_seen", pa.int64()),
+    ("events_applied", pa.int64()),
+    ("upserts", pa.int64()),
+    ("deletes", pa.int64()),
+    ("last_lsn", pa.int64()),
+    ("last_seq", pa.int64()),
+    ("fingerprint", pa.string()),
+    ("path", pa.string()),
+    ("apply_seconds", pa.float64()),
+]
+
+
+def _composite_key(t: pa.Table | dict, key_cols: tuple[str, ...]) -> np.ndarray:
+    cols = [
+        pc.cast(t[c] if isinstance(t, pa.Table) else t[c], pa.string())
+        for c in key_cols
+    ]
+    joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, _KEY_SEP)
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    return joined.to_numpy(zero_copy_only=False)
+
+
+def _evolve_cols(
+    cols: dict[str, pa.Array],
+    n: int,
+    renames: dict[str, str] | None,
+    added: list[tuple[str, str, object]] | None,
+) -> dict[str, pa.Array]:
+    """Schema-registry view on the flattened image: rename old columns,
+    add new ones with defaults (ST3 — the schema-history role)."""
+    if renames:
+        cols = {renames.get(k, k): v for k, v in cols.items()}
+    for name, typ, default in added or []:
+        if name not in cols:
+            at = pa.type_for_alias(typ) if isinstance(typ, str) else typ
+            cols[name] = (
+                pa.nulls(n, at) if default is None else pa.array([default] * n, type=at)
+            )
+    return cols
+
+
+def project_for_apply(
+    key_cols: tuple[str, ...],
+    num_buckets: int,
+    *,
+    ledger: dict[int, tuple[int, int]] | None = None,
+    max_lsn: int | None = None,
+    renames: dict[str, str] | None = None,
+    added_columns: list[tuple[str, str, object]] | None = None,
+):
+    """Build the map_batches fn: envelope batch → pre-reduced apply rows.
+
+    Output columns: ``lsn, seq, deleted, <payload cols>, _bucket`` with key
+    columns coalesced from the key struct (present even on deletes, whose
+    after-image is null).
+    """
+
+    def project(t: pa.Table) -> pa.Table:
+        n = len(t)
+        deleted = (
+            pc.fill_null(
+                pc.is_in(t["op"], value_set=pa.array(list(DELETED_OPS))), False
+            ).combine_chunks()
+            if n
+            else pa.nulls(0, pa.bool_())
+        )
+        after = t["after"].combine_chunks()
+        ptype = after.type
+        names = [ptype.field(i).name for i in range(ptype.num_fields)]
+        cols = dict(zip(names, after.flatten()))
+        cols = _evolve_cols(cols, n, renames, added_columns)
+        key = t["key"].combine_chunks()
+        kt = key.type
+        for i in range(kt.num_fields):
+            kname = kt.field(i).name
+            cols[kname] = (
+                pc.coalesce(cols[kname], key.field(i))
+                if kname in cols
+                else key.field(i)
+            )
+        out = pa.table(
+            {
+                "lsn": t["lsn"].combine_chunks(),
+                "seq": t["seq"].combine_chunks(),
+                "deleted": deleted,
+                **cols,
+            }
+        )
+        return out.append_column(BUCKET_COL, bucket_of(out, key_cols, num_buckets))
+
+    def fn(t: pa.Table) -> pa.Table:
+        # drop non-envelope rows (DDL / tombstones): op must be a data op
+        op = t["op"]
+        keep = pc.and_(
+            pc.is_valid(op),
+            pc.invert(pc.fill_null(pc.equal(op, OP_DDL), False)),
+        )
+        if max_lsn is not None:
+            keep = pc.and_(keep, pc.less_equal(t["lsn"], max_lsn))
+        out = project(t.filter(keep))
+        if len(out) == 0:
+            return out
+
+        # ledger filter: skip events at-or-before the per-bucket high-water
+        # mark (ST1 idempotent replay, AbstractDebeziumTask.java:640-693)
+        if ledger:
+            out = _ledger_filter(out, ledger)
+            if len(out) == 0:
+                return out
+
+        # per-batch pre-reduce: last event per key wins (lossless for LWW).
+        # `_weight` = raw events each winner represents, so consumed-record
+        # accounting (the reference Output.size) survives the reduce with
+        # no second pass over the stream.
+        key = _composite_key(out, key_cols)
+        win, weights = _winners_and_weights(
+            key, out["lsn"].to_numpy(), out["seq"].to_numpy()
+        )
+        out = out.take(pa.array(win))
+        return out.append_column(WEIGHT_COL, pa.array(weights, type=pa.int64()))
+
+    return fn
+
+
+def _ledger_filter(t: pa.Table, ledger: dict[int, tuple[int, int]]) -> pa.Table:
+    b = t[BUCKET_COL].to_numpy()
+    lsn = t["lsn"].to_numpy()
+    seq = t["seq"].to_numpy()
+    led_lsn = np.full(len(t), -1, dtype=np.int64)
+    led_seq = np.full(len(t), -1, dtype=np.int64)
+    if ledger:
+        buckets = np.fromiter(ledger.keys(), dtype=np.int64)
+        vals = np.array([ledger[int(x)] for x in buckets], dtype=np.int64)
+        lut_lsn = np.full(int(buckets.max()) + 1, -1, dtype=np.int64)
+        lut_seq = np.full(int(buckets.max()) + 1, -1, dtype=np.int64)
+        lut_lsn[buckets] = vals[:, 0]
+        lut_seq[buckets] = vals[:, 1]
+        in_range = b < len(lut_lsn)
+        led_lsn[in_range] = lut_lsn[b[in_range]]
+        led_seq[in_range] = lut_seq[b[in_range]]
+    keep = (lsn > led_lsn) | ((lsn == led_lsn) & (seq > led_seq))
+    return t.filter(pa.array(keep))
+
+
+def _winners_mask(key: np.ndarray, lsn: np.ndarray, seq: np.ndarray) -> np.ndarray:
+    """Indices of the max-(lsn,seq) row per key (vectorized, stable)."""
+    df = pd.DataFrame({"k": key, "i": np.arange(len(key))})
+    order = np.lexsort((seq, lsn))  # ascending by (lsn, seq)
+    df = df.iloc[order]
+    return df.groupby("k", sort=False)["i"].last().to_numpy()
+
+
+def _winners_and_weights(
+    key: np.ndarray, lsn: np.ndarray, seq: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winner index per key plus the count of rows it subsumes."""
+    df = pd.DataFrame({"k": key, "i": np.arange(len(key))})
+    order = np.lexsort((seq, lsn))
+    df = df.iloc[order]
+    g = df.groupby("k", sort=False)["i"]
+    return g.last().to_numpy(), g.size().to_numpy()
+
+
+class BucketMerge:
+    """``map_groups`` callable: merge one bucket's winning events into the
+    bucket's prior lake state and write the new bucket file.
+
+    The Ray-native analogue of the reference's single-writer sink + offset
+    store: state lives in Parquet keyed by deterministic bucket file names;
+    visibility is gated by the manifest commit (state/checkpoint.py).
+    """
+
+    def __init__(
+        self,
+        key_cols: tuple[str, ...],
+        out_dir: str,
+        commit_id: str,
+        *,
+        prior_paths: dict[int, str] | None = None,
+        ledger: dict[int, tuple[int, int]] | None = None,
+        fingerprint_col: str | None = "content",
+    ):
+        self.key_cols = key_cols
+        self.out_dir = out_dir
+        self.commit_id = commit_id
+        self.prior_paths = prior_paths or {}
+        self.ledger = ledger or {}
+        self.fingerprint_col = fingerprint_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        if len(group) == 0:
+            return pa.table({k: pa.nulls(0, v) for k, v in APPLY_STATS_FIELDS})
+        bucket = int(group[BUCKET_COL][0].as_py())
+        events_seen = (
+            int(pc.sum(group[WEIGHT_COL]).as_py() or 0)
+            if WEIGHT_COL in group.column_names
+            else len(group)
+        )
+
+        # defense-in-depth ledger check (pre-filter already ran upstream;
+        # a retried upstream task may resend — skipping here keeps apply
+        # idempotent per event, SURVEY.md §7.4 #1)
+        led = self.ledger.get(bucket)
+        if led is not None:
+            lsn = group["lsn"].to_numpy()
+            seq = group["seq"].to_numpy()
+            keep = (lsn > led[0]) | ((lsn == led[0]) & (seq > led[1]))
+            group = group.filter(pa.array(keep))
+
+        stats = {k: None for k, _ in APPLY_STATS_FIELDS}
+        stats["bucket"] = bucket
+        stats["events_seen"] = events_seen
+
+        # final LWW dedup across batches
+        key = _composite_key(group, self.key_cols)
+        win = _winners_mask(key, group["lsn"].to_numpy(), group["seq"].to_numpy())
+        group = group.take(pa.array(win))
+        key = key[win]
+
+        last_i = int(np.lexsort((group["seq"].to_numpy(), group["lsn"].to_numpy()))[-1])
+        stats["last_lsn"] = int(group["lsn"][last_i].as_py())
+        stats["last_seq"] = int(group["seq"][last_i].as_py())
+        stats["events_applied"] = len(group)
+
+        deleted = group["deleted"].to_numpy(zero_copy_only=False).astype(bool)
+        stats["deletes"] = int(deleted.sum())
+        stats["upserts"] = int(len(group) - deleted.sum())
+
+        data_cols = [
+            c
+            for c in group.column_names
+            if c not in ("deleted", BUCKET_COL, WEIGHT_COL)
+        ]
+        upserts = group.filter(pa.array(~deleted)).select(data_cols)
+
+        prior_path = self.prior_paths.get(bucket)
+        if prior_path is not None and os.path.exists(prior_path):
+            prior = pq.read_table(prior_path)
+            prior_key = _composite_key(prior, self.key_cols)
+            dead = pd.Index(prior_key).isin(key)  # replaced or deleted keys
+            # promote unifies schemas across evolution epochs: columns
+            # added since the prior commit read back as null in old rows
+            merged = pa.concat_tables(
+                [prior.filter(pa.array(~dead)), upserts],
+                promote_options="default",
+            )
+        else:
+            merged = upserts
+
+        # deterministic row order → byte-stable files for the rerun test
+        merged_key = _composite_key(merged, self.key_cols)
+        order = np.argsort(merged_key, kind="stable")
+        merged = merged.take(pa.array(order))
+
+        path = os.path.join(self.out_dir, self.commit_id, f"bucket={bucket:05d}.parquet")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(merged, tmp, compression="zstd")
+        os.replace(tmp, path)  # idempotent retry: same name, same bytes
+
+        stats["rows"] = len(merged)
+        stats["path"] = path
+        stats["fingerprint"] = self._fingerprint(merged, merged_key[order])
+        stats["apply_seconds"] = time.monotonic() - t0
+        return pa.table(
+            {k: pa.array([stats[k]], type=typ) for k, typ in APPLY_STATS_FIELDS}
+        )
+
+    def _fingerprint(self, t: pa.Table, keys: np.ndarray) -> str:
+        """Order-independent per-partition content fingerprint: XOR of
+        sha256(key || content-ish column) — the distributed sha256-parity
+        primitive (never collects rows to the driver)."""
+        col = self.fingerprint_col if self.fingerprint_col in t.column_names else None
+        vals = (
+            t[col].to_numpy(zero_copy_only=False)
+            if col
+            else np.full(len(t), "", dtype=object)
+        )
+        acc = 0
+        for k, v in zip(keys, vals):
+            h = hashlib.sha256(
+                (str(k) + "\x00" + ("" if v is None else str(v))).encode()
+            ).digest()
+            acc ^= int.from_bytes(h, "big")
+        return f"{acc:064x}"
