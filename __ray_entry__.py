@@ -1,44 +1,367 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay on sf0.001; ``queries()`` maps
+operator names (SURVEY.md §2 + the training-data extensions) to
+callables over a testdata ``sf_dir``; ``oracle_sql()`` carries the
+DuckDB-equivalent SQL for every SQL-expressible query (same column
+names, so the driver's order-insensitive value-hash compare holds).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+The CDC queries derive a change-event stream deterministically from the
+``events`` table (lsn = event_id, key = user_id, op: signup→c,
+error→d, else u) so every pipeline has an exact SQL oracle — see
+``plugin_debezium_ray/sources/from_table.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np  # noqa: E402
+
+import ray.data  # noqa: E402
+
+from plugin_debezium_ray.config import (  # noqa: E402
+    CaptureConfig,
+    MetadataHandling,
+    SplitTable,
+)
+from plugin_debezium_ray.pipelines.replay import ReplayJob  # noqa: E402
+from plugin_debezium_ray.sources.from_table import envelopes_from_table  # noqa: E402
+from plugin_debezium_ray.stages.decode import EnvelopeDecoder  # noqa: E402
+
+EVENT_OP_MAP = {"signup": "c", "error": "d"}  # everything else → 'u'
+EVENT_PAYLOAD = ["user_id", "event_type", "value"]
+EVENT_OP_SQL = (
+    "CASE WHEN event_type = 'signup' THEN 'c' "
+    "WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+)
+
+
+def _events_envelopes(sf_dir: str, **kw) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    return envelopes_from_table(
+        ds,
+        key_cols=("user_id",),
+        lsn_col="event_id",
+        payload_cols=EVENT_PAYLOAD,
+        op_col="event_type",
+        op_map=EVENT_OP_MAP,
+        **kw,
+    )
+
+
+def _decode(sf_dir: str, cfg: CaptureConfig, **env_kw):
+    decoder = EnvelopeDecoder(cfg)
+    return _events_envelopes(sf_dir, **env_kw).map_batches(
+        decoder, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_cdc_inline_decode(sf_dir: str):
+    """M1+M4+M6: envelope decode, INLINE format, deleted flag."""
+    cfg = CaptureConfig(key_cols=("user_id",), metadata=MetadataHandling.DROP)
+    out = _decode(sf_dir, cfg)
+    return out.map_batches(
+        lambda t: t.drop_columns(["_stream"]), batch_format="pyarrow"
+    )
+
+
+def q_cdc_metadata(sf_dir: str):
+    """M8: metadata enrichment, flattened to (op, lsn) columns."""
+    import pyarrow as pa
+
+    cfg = CaptureConfig(key_cols=("user_id",))
+    out = _decode(sf_dir, cfg)
+
+    def flat(t: pa.Table) -> pa.Table:
+        md = t["metadata"].combine_chunks()
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "op": md.field("op"),
+                "lsn": md.field("lsn"),
+            }
+        )
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
+def q_cdc_stream_counts(sf_dir: str):
+    """M9+ST6: SplitTable stream routing + per-stream record counts."""
+    cfg = CaptureConfig(key_cols=("user_id",), split_table=SplitTable.TABLE)
+    out = _decode(sf_dir, cfg, table_col="event_type")
+    agg = out.groupby("_stream").count()
+    return agg.rename_columns({"_stream": "stream", "count()": "n"})
+
+
+def q_cdc_bounded_replay(sf_dir: str):
+    """ST7/S1: bounded replay — the maxRecords/LSN-range stop condition
+    as an lsn ≤ 5000 segment selection."""
+    cfg = CaptureConfig(
+        key_cols=("user_id",), metadata=MetadataHandling.DROP, max_lsn=5000
+    )
+    out = _decode(sf_dir, cfg)
+    return out.map_batches(
+        lambda t: t.drop_columns(["_stream"]), batch_format="pyarrow"
+    )
+
+
+def q_cdc_lww_apply(sf_dir: str):
+    """M1-M9 + ST1/2.5/2.6: full keyed LWW apply of the event stream —
+    final table state (upserts minus deletes, ordered by lsn per key)."""
+    env = _events_envelopes(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lww_", dir="/tmp") as d:
+        job = ReplayJob(
+            CaptureConfig(key_cols=("user_id",), num_buckets=16),
+            os.path.join(d, "lake"),
+            fingerprint_col="event_type",
+        )
+        job.run(env)
+        tab = job.read_table().to_pandas()
+    return tab[["user_id", "lsn", "event_type", "value"]]
+
+
+def q_dedup_exact(sf_dir: str):
+    from plugin_debezium_ray.functions.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    kept = exact_dedup(ds, id_col="doc_id", text_col="text")
+    return kept.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def q_dedup_exact_normalized(sf_dir: str):
+    from plugin_debezium_ray.functions.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return exact_dedup(ds, id_col="doc_id", text_col="text",
+                       normalize=True).select_columns(["doc_id"])
+
+
+def q_text_token_count(sf_dir: str):
+    from plugin_debezium_ray.functions.text import token_count_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens", "n_chars_computed"])
+
+
+def q_text_quality(sf_dir: str):
+    from plugin_debezium_ray.functions.text import quality_score_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(quality_score_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_words", "punct_ratio"])
+
+
+def q_text_fingerprint(sf_dir: str):
+    from plugin_debezium_ray.functions.text import md5_fingerprint_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(md5_fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint_md5"])
+
+
+def q_text_langid(sf_dir: str):
+    from plugin_debezium_ray.functions.text import LangId
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_dedup_minhash(sf_dir: str):
+    from plugin_debezium_ray.functions.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    kept = minhash_dedup(ds, threshold=0.8, num_perm=64, bands=16)
+    return kept.select_columns(["doc_id"])
+
+
+def q_dedup_simhash(sf_dir: str):
+    import pandas as pd
+
+    from plugin_debezium_ray.functions.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = simhash_pairs(ds, max_hamming=3)
+    return pd.DataFrame(pairs, columns=["a", "b"])
+
+
+def q_dedup_embedding(sf_dir: str):
+    import pandas as pd
+
+    from plugin_debezium_ray.functions.dedup import embedding_dedup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # testdata embeddings are near-orthogonal random vectors; 0.4 is the
+    # "suspiciously similar" band there (max observed cos ≈ 0.51)
+    pairs = embedding_dedup_pairs(
+        ds, threshold=0.4, num_planes=4, num_tables=16
+    )
+    return pd.DataFrame(pairs, columns=["a", "b"])
+
+
+def _first_queries(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    t = t.sort_by("vec_id").slice(0, n)
+    return np.stack([np.asarray(v, dtype=np.float32) for v in
+                     t["embedding"].to_pylist()])
+
+
+def q_ann_brute_force(sf_dir: str):
+    from plugin_debezium_ray.functions.ann import brute_force_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = brute_force_topk(ds, _first_queries(sf_dir), k=10)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def q_ann_ivf(sf_dir: str):
+    from plugin_debezium_ray.functions.ann import ivf_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = ivf_topk(ds, _first_queries(sf_dir), k=10, n_clusters=8, nprobe=8)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def q_agg_event_stats(sf_dir: str):
+    """§2.6 aggregations: grouped count + sum over the event stream."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total_value")
+    )
+    df = out.to_pandas()
+    df["total_value"] = df["total_value"].round(2)
+    return df
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full CDC LWW apply over the sf0.001 event stream."""
+    return q_cdc_lww_apply("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_inline_decode": q_cdc_inline_decode,
+        "cdc_metadata": q_cdc_metadata,
+        "cdc_stream_counts": q_cdc_stream_counts,
+        "cdc_bounded_replay": q_cdc_bounded_replay,
+        "cdc_lww_apply": q_cdc_lww_apply,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "text_langid": q_text_langid,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_ivf": q_ann_ivf,
+        "agg_event_stats": q_agg_event_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_inline_decode": f"""
+            SELECT user_id, event_type, value,
+                   (event_type = 'error') AS deleted
+            FROM events
+        """,
+        "cdc_metadata": f"""
+            SELECT user_id, {EVENT_OP_SQL} AS op, event_id AS lsn
+            FROM events
+        """,
+        "cdc_stream_counts": """
+            SELECT 'testdb.' || event_type AS stream, count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "cdc_bounded_replay": """
+            SELECT user_id, event_type, value,
+                   (event_type = 'error') AS deleted
+            FROM events WHERE event_id <= 5000
+        """,
+        "cdc_lww_apply": """
+            WITH ranked AS (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id, event_id AS lsn, event_type, value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id,
+                   min(lang) AS lang, min(n_chars) AS n_chars
+            FROM documents GROUP BY text
+        """,
+        "dedup_exact_normalized": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   length(text) AS n_chars_computed
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                     / greatest(length(text), 1) AS punct_ratio
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents
+        """,
+        "agg_event_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        # text_langid, dedup_minhash/simhash/embedding, ann_*: heuristic /
+        # non-SQL-expressible — driver records rows-only checks.
+    }

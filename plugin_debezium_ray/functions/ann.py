@@ -1,0 +1,197 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE
+via ``ray.put`` and every ``map_batches`` task computes a numpy matmul
+against its batch, emitting only per-batch top-k candidates; a tiny
+driver-side merge reduces them to the global top-k (k × num_queries
+rows — never the corpus).
+
+Scale path: IVF — deterministic k-means (Lloyd's, fixed seed/iters,
+distributed partial-sum updates), then search only the ``nprobe``
+nearest centroid partitions.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BatchTopK:
+    """map_batches callable: cosine of batch × broadcast queries → the
+    batch's top-k rows per query.  Query matrix fetched from the object
+    store once per actor (``ray.get`` in __init__)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 self.id_col: pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float32())}
+            )
+        vecs = _normalize(_stack(t[self.vec_col]))
+        ids = t[self.id_col].to_numpy()
+        sims = vecs @ self.q.T  # (batch, n_queries)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, n_queries)
+        qn = self.q.shape[0]
+        out_q = np.repeat(np.arange(qn, dtype=np.int64), k)
+        out_i = ids[top.T.reshape(-1)]
+        out_s = sims[top.T.reshape(-1), np.repeat(np.arange(qn), k)]
+        return pa.table(
+            {"query_id": pa.array(out_q),
+             self.id_col: pa.array(out_i),
+             "score": pa.array(out_s.astype(np.float32))}
+        )
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Global cosine top-k per query row of ``queries``.
+
+    Returns a small DataFrame (num_queries × k rows) with columns
+    ``query_id, <id_col>, score, rank`` — ties broken by ascending id
+    for determinism."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    ref = ray.put(queries)
+    cand = ds.map_batches(
+        BatchTopK,
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+    rows = cand.take_all()  # ≤ k × n_queries × n_blocks, still small
+    by_q: dict[int, list] = {}
+    for r in rows:
+        # heap on (score, -id): max score wins, ties → smaller id
+        heapq.heappush(
+            by_q.setdefault(int(r["query_id"]), []),
+            (float(r["score"]), -int(r[id_col])),
+        )
+        if len(by_q[int(r["query_id"])]) > k:
+            heapq.heappop(by_q[int(r["query_id"])])
+    out = []
+    for qid, heap in sorted(by_q.items()):
+        ranked = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        for rank, (score, neg_id) in enumerate(ranked, 1):
+            out.append((qid, -neg_id, score, rank))
+    return pd.DataFrame(out, columns=["query_id", id_col, "score", "rank"])
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    n_clusters: int,
+    *,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 3,
+    sample_blocks: int = 1,
+) -> np.ndarray:
+    """Deterministic distributed Lloyd's: init from a seeded sample, then
+    ``iters`` rounds of per-batch partial (sum, count) → driver combine.
+    Only (n_clusters × dim) state ever reaches the driver."""
+    sample = ds.limit(max(n_clusters * 20, 256)).take_all()
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float32) for r in sample])
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=n_clusters, replace=False)]
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            vecs = _stack(t[vec_col])
+            assign = np.argmin(
+                ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, vecs)
+            np.add.at(counts, assign, 1)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "sum": pa.array(list(sums)),
+                    "count": pa.array(counts),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in parts:
+            sums[int(r["cluster"])] += np.asarray(r["sum"], dtype=np.float32)
+            counts[int(r["cluster"])] += int(r["count"])
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return centroids
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """IVF search: restrict the brute-force scan to rows whose nearest
+    centroid is among each query's ``nprobe`` closest.  Approximate by
+    construction; recall grows with nprobe (== brute force when
+    nprobe == n_clusters)."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    if centroids is None:
+        centroids = kmeans_fit(ds, n_clusters, vec_col=vec_col)
+    cref = ray.put(centroids)
+    q_assign = np.argsort(
+        ((queries[:, None, :] - centroids[None, :, :]) ** 2).sum(-1), axis=1
+    )[:, :nprobe]
+    probe_set = sorted({int(c) for row in q_assign for c in row})
+    probe_arr = pa.array(probe_set, type=pa.int64())
+
+    def filter_probed(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        vecs = _stack(t[vec_col])
+        assign = np.argmin(
+            ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        keep = pa.compute.is_in(
+            pa.array(assign.astype(np.int64)), value_set=probe_arr
+        )
+        return t.filter(keep)
+
+    probed = ds.map_batches(filter_probed, batch_format="pyarrow")
+    return brute_force_topk(probed, queries, k, id_col=id_col, vec_col=vec_col)

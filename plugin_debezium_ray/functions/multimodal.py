@@ -1,0 +1,172 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata structs.
+
+The Ray-side plumbing (schemas, actor-pool stages, batch sizing, output
+layout) is real and tested; the codec work itself is STUBBED — the
+image/audio libraries are not in this container.  Each stage tries the
+real library first and otherwise uses a clearly-marked deterministic
+fake (or raises ``NotImplementedError`` in strict mode), so swapping in
+PIL/libav on a real cluster changes nothing structural.
+
+Batch-size guidance (SURVEY.md 'Memory-aware'): binary payloads are
+large — pair these stages with a small ``batch_size`` (e.g. 64) and
+``concurrency`` sized so batch × pool fits worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_META_TYPE = pa.struct(
+    [
+        ("format", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("channels", pa.int32()),
+    ]
+)
+
+AUDIO_META_TYPE = pa.struct(
+    [
+        ("codec", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("channels", pa.int32()),
+    ]
+)
+
+
+def _fake_pixels(data: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Deterministic stand-in decode: pixels derived from the payload
+    digest — stable across runs/processes, shaped like a real decode."""
+    seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+class ImageDecode:
+    """Actor-pool stage: ``binary`` image column → fixed-size uint8
+    tensor column (decode + resize fused).  Real path uses PIL when
+    available; otherwise the deterministic fake (or strict=True →
+    NotImplementedError, marking the codec gap explicitly)."""
+
+    def __init__(
+        self,
+        *,
+        bytes_col: str = "image",
+        meta_col: str | None = "image_meta",
+        out_col: str = "pixels",
+        size: tuple[int, int] = (32, 32),
+        strict: bool = False,
+    ):
+        self.bytes_col = bytes_col
+        self.meta_col = meta_col
+        self.out_col = out_col
+        self.size = size
+        self.strict = strict
+        try:  # real decoder, once per actor
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _decode_one(self, data: bytes) -> np.ndarray:
+        h, w = self.size
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(data)).convert("RGB").resize((w, h))
+            return np.asarray(img, dtype=np.uint8)
+        if self.strict:
+            raise NotImplementedError(
+                "image codec not available in this environment (PIL missing); "
+                "run with strict=False for the deterministic stub"
+            )
+        return _fake_pixels(data, h, w, 3)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        h, w = self.size
+        tensors = [
+            None if v is None else self._decode_one(v)
+            for v in t[self.bytes_col].to_pylist()
+        ]
+        flat = pa.array(
+            [None if x is None else x.reshape(-1) for x in tensors],
+            type=pa.list_(pa.uint8(), h * w * 3),
+        )
+        return t.append_column(self.out_col, flat)
+
+
+class ImageFeatures:
+    """Actor-pool stage: pixel tensors → small float feature vector
+    (channel means/stds — a stand-in for a real model forward pass; the
+    model-load-once-per-actor shape is what matters)."""
+
+    def __init__(self, *, pixels_col: str = "pixels", out_col: str = "features",
+                 size: tuple[int, int] = (32, 32)):
+        self.pixels_col = pixels_col
+        self.out_col = out_col
+        self.size = size
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        h, w = self.size
+        feats = []
+        for v in t[self.pixels_col].to_pylist():
+            if v is None:
+                feats.append(None)
+                continue
+            px = np.asarray(v, dtype=np.float32).reshape(h, w, 3)
+            feats.append(
+                np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))]) / 255.0
+            )
+        return t.append_column(
+            self.out_col,
+            pa.array([None if f is None else f.tolist() for f in feats],
+                     type=pa.list_(pa.float32(), 6)),
+        )
+
+
+class AudioFrameSample:
+    """Actor-pool stage: ``binary`` audio column → fixed number of
+    frame-sample offsets + a per-frame energy proxy.  Codec stubbed the
+    same way as ImageDecode."""
+
+    def __init__(self, *, bytes_col: str = "audio", n_frames: int = 8,
+                 strict: bool = False):
+        self.bytes_col = bytes_col
+        self.n_frames = n_frames
+        self.strict = strict
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("audio codec not available (no libav)")
+        energies = []
+        for v in t[self.bytes_col].to_pylist():
+            if v is None:
+                energies.append(None)
+                continue
+            # deterministic fake: frame energies from payload digest chunks
+            d = hashlib.sha256(v).digest()
+            vals = [d[i % 32] / 255.0 for i in range(self.n_frames)]
+            energies.append(vals)
+        return t.append_column(
+            "frame_energy",
+            pa.array(energies, type=pa.list_(pa.float64(), self.n_frames)),
+        )
+
+
+def attach_image_meta(t: pa.Table, *, bytes_col: str = "image") -> pa.Table:
+    """Typed metadata struct for a binary image column (fake headers)."""
+    metas = []
+    for v in t[bytes_col].to_pylist():
+        if v is None:
+            metas.append(None)
+            continue
+        metas.append(
+            {"format": "png", "width": 64, "height": 64, "channels": 3}
+        )
+    return t.append_column("image_meta", pa.array(metas, type=IMAGE_META_TYPE))

@@ -1,0 +1,188 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Vectorized per-batch stages over the ``documents`` table: token counting,
+quality scoring, language-ID (stopword/charset heuristic), document
+fingerprinting.  All are ``map_batches`` callables; stateful setup
+(compiled regexes, stopword tables) happens once per actor in
+``__init__`` when used as a class.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------- counting
+
+
+def token_count_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + char count, pure Arrow kernels.
+
+    ``n_tokens`` = count of maximal non-space runs == DuckDB's
+    ``length(regexp_split_to_array(trim(text), '\\s+'))`` for non-empty
+    text (the oracle SQL used by the driver check).
+    """
+    txt = t[text_col]
+    n_chars = pc.utf8_length(txt)
+    # count whitespace-delimited tokens: split on \s+ then list length
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+    n_tokens = pc.list_value_length(toks)
+    # empty/whitespace-only text → 0 tokens (split returns [''] → 1)
+    empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(txt)), 0)
+    n_tokens = pc.if_else(empty, pa.scalar(0, pa.int32()), n_tokens)
+    out = t.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    return out.append_column("n_chars_computed", pc.cast(n_chars, pa.int64()))
+
+
+class BpeishTokenCounter:
+    """BPE-ish token estimate: regex word/number/punct pieces, the
+    pretokenizer shape used by GPT-style BPE vocabularies.  Compiled once
+    per actor (actor-pool stage)."""
+
+    PATTERN = r"[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]"
+
+    def __init__(self, text_col: str = "text"):
+        self.re = re.compile(self.PATTERN)
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[self.text_col], self.PATTERN)
+        return t.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
+# -------------------------------------------------------------- quality
+
+
+def quality_score_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Length/punctuation/word-shape quality signals (C4/Gopher-style
+    heuristics, vectorized).  SQL-mirrorable columns only."""
+    txt = t[text_col]
+    n_chars = pc.cast(pc.utf8_length(txt), pa.float64())
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+    n_words = pc.cast(pc.list_value_length(toks), pa.float64())
+    n_words_safe = pc.max_element_wise(n_words, 1.0)
+    n_chars_safe = pc.max_element_wise(n_chars, 1.0)
+    n_punct = pc.cast(
+        pc.count_substring_regex(txt, r"[.,;:!?]"),
+        pa.float64(),
+    )
+    n_upper = pc.cast(
+        pc.count_substring_regex(txt, r"[A-Z]"), pa.float64()
+    )
+    avg_word_len = pc.divide(
+        pc.subtract(n_chars, pc.subtract(n_words, 1.0)), n_words_safe
+    )
+    out = t
+    out = out.append_column("n_words", pc.cast(n_words, pa.int64()))
+    out = out.append_column("avg_word_len", avg_word_len)
+    out = out.append_column("punct_ratio", pc.divide(n_punct, n_chars_safe))
+    out = out.append_column("upper_ratio", pc.divide(n_upper, n_chars_safe))
+    return out
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"},
+    "es": {"el", "la", "de", "que", "los", "es", "un", "una", "por", "con"},
+}
+
+
+class LangId:
+    """Heuristic language-ID: stopword hit-rates + CJK charset check.
+    Tables built once per actor; per-batch work is pandas string ops."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.cjk_re = re.compile(r"[一-鿿぀-ヿ]")
+        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = pd.Series(t[self.text_col].to_pandas())
+        langs = np.empty(len(s), dtype=object)
+        scores = np.zeros(len(s))
+        for i, text in enumerate(s):
+            if text is None:
+                langs[i] = None
+                continue
+            if self.cjk_re.search(text):
+                langs[i], scores[i] = "zh", 1.0
+                continue
+            words = [w.lower() for w in self.word_re.findall(text)[:200]]
+            if not words:
+                langs[i], scores[i] = "und", 0.0
+                continue
+            best, best_hits = "und", 0
+            for lang, table in self.tables.items():
+                hits = sum(1 for w in words if w in table)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            langs[i] = best
+            scores[i] = best_hits / len(words)
+        out = t.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        return out.append_column("lang_score", pa.array(scores))
+
+
+# --------------------------------------------------------- fingerprints
+
+
+def md5_fingerprint_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Exact content fingerprint (md5 hex) — matches DuckDB ``md5(text)``."""
+    vals = t[text_col].to_pylist()
+    fp = [
+        None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
+        for v in vals
+    ]
+    return t.append_column("fingerprint_md5", pa.array(fp, type=pa.string()))
+
+
+class RollingFingerprint:
+    """Rolling-hash (Rabin-Karp) document fingerprint: min of rolling
+    hashes over token windows — robust to local edits, winnowing-style
+    (Schleimer et al., SIGMOD'03 idea, public).  Deterministic."""
+
+    B = 1_000_003
+    MASK = (1 << 61) - 1
+
+    def __init__(self, window: int = 8, text_col: str = "text"):
+        self.window = window
+        self.text_col = text_col
+        self.word_re = re.compile(r"\S+")
+
+    def _token_hashes(self, text: str) -> np.ndarray:
+        toks = self.word_re.findall(text)
+        return np.array(
+            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+             for w in toks],
+            dtype=np.uint64,
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = []
+        for text in t[self.text_col].to_pylist():
+            if text is None:
+                out.append(None)
+                continue
+            h = self._token_hashes(text)
+            w = min(self.window, max(1, len(h)))
+            if len(h) == 0:
+                out.append(0)
+                continue
+            # rolling polynomial hash over windows, vectorized per doc
+            pw = np.array(
+                [pow(self.B, w - 1 - i, self.MASK + 1) for i in range(w)],
+                dtype=object,
+            )
+            n_win = len(h) - w + 1
+            vals = [
+                int(sum(int(h[j + i]) * int(pw[i]) for i in range(w)) & self.MASK)
+                for j in range(n_win)
+            ]
+            out.append(min(vals))
+        return t.append_column("fingerprint_rolling", pa.array(out, type=pa.uint64()))

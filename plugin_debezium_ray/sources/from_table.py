@@ -28,6 +28,7 @@ def envelopes_from_table(
     default_op: str = "u",
     db: str = "testdb",
     table: str = "events",
+    table_col: str | None = None,
     seq_col: str | None = None,
 ) -> "ray.data.Dataset":
     """One envelope per row: op from ``op_map[row[op_col]]`` (else
@@ -60,6 +61,11 @@ def envelopes_from_table(
             else pa.array(np.zeros(n, dtype=np.int64))
         )
         ts = lsn
+        table_arr = (
+            pc.cast(batch[table_col], pa.string()).combine_chunks()
+            if table_col
+            else pa.array([table] * n)
+        )
         src = pa.StructArray.from_arrays(
             [
                 pa.array(["0.1.0"] * n),
@@ -68,7 +74,7 @@ def envelopes_from_table(
                 ts,
                 pa.array(["false"] * n),
                 pa.array([db] * n),
-                pa.array([table] * n),
+                table_arr,
                 pa.nulls(n, pa.int64()),
             ],
             names=["version", "connector", "name", "ts_ms", "snapshot", "db", "table", "row"],
