@@ -133,7 +133,7 @@ def q_cdc_lww_apply(sf_dir: str):
             os.path.join(d, "lake"),
             fingerprint_col="event_type",
         )
-        job.run(env)
+        job.run(env, ddl_source=False)  # table-derived stream has no DDL
         tab = job.read_table().to_pandas()
     return tab[["user_id", "lsn", "event_type", "value"]]
 
@@ -272,6 +272,37 @@ def q_agg_event_stats(sf_dir: str):
     return df
 
 
+def q_window_tumbling(sf_dir: str):
+    """Streaming-shaped: hourly tumbling count+sum per event_type
+    (partial pre-aggregation before the one groupby)."""
+    from plugin_debezium_ray.functions.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    out = tumbling_window_agg(
+        ds, ts_col="ts", window_seconds=3600, key_cols=["event_type"],
+        sum_cols=["value"],
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+def q_window_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user → session count."""
+    from ray.data.aggregate import Count
+
+    from plugin_debezium_ray.functions.windows import session_windows
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    sess = session_windows(ds, ts_col="ts", key_col="user_id", gap_seconds=1800)
+    out = sess.groupby("user_id").aggregate(Count(alias_name="n_sessions"))
+    return out
+
+
 def entry() -> Any:
     """Flagship: full CDC LWW apply over the sf0.001 event stream."""
     return q_cdc_lww_apply("/root/testdata/sf0.001")
@@ -296,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
         "agg_event_stats": q_agg_event_stats,
+        "window_tumbling": q_window_tumbling,
+        "window_sessions": q_window_sessions,
     }
 
 
@@ -361,6 +394,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type
+        """,
+        "window_tumbling": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "window_sessions": """
+            WITH d AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, sum(new_s) AS n_sessions FROM d GROUP BY user_id
         """,
         # text_langid, dedup_minhash/simhash/embedding, ann_*: heuristic /
         # non-SQL-expressible — driver records rows-only checks.

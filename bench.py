@@ -1,0 +1,265 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline CDC replay throughput + operator suite.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "events_per_sec": ..., "replay_events": ...}
+
+``--scaling`` runs the headline replay in two fresh processes
+(num_cpus=8 vs 32) on the same cached WAL and reports both throughputs
+plus efficiency = (t8/t32)/4 (the N→4N stand-in from BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32).  The synthetic WAL is cached under /tmp keyed by its
+parameters; generation time is excluded from the measured replay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = "/tmp/graft_bench_cache"
+
+# WAL scale: ~20 change events per events-table row (sf0.1 → 2M events);
+# the scaling run uses 2× that so compute dominates fixed pipeline latency
+EVENTS_PER_ROW = 20
+SCALING_EVENTS_PER_ROW = 40
+WAL_SEED = 42
+# identical bucket count at every parallelism level (comparable work)
+NUM_BUCKETS = int(os.environ.get("GRAFT_NUM_BUCKETS", "128"))
+REPLAY_BATCH = 131072
+
+
+def _events_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
+
+
+def wal_params(sf_dir: str, events_per_row: int = EVENTS_PER_ROW) -> tuple[int, int]:
+    n = _events_rows(sf_dir)
+    n_events = n * events_per_row
+    n_keys = max(1000, n_events // 20)
+    return n_events, n_keys
+
+
+def ensure_wal(
+    sf_dir: str, events_per_row: int = EVENTS_PER_ROW
+) -> tuple[str, int, int]:
+    """Generate (once) and cache the synthetic WAL segments + snapshot."""
+    n_events, n_keys = wal_params(sf_dir, events_per_row)
+    tag = f"wal_e{n_events}_k{n_keys}_s{WAL_SEED}"
+    wal_dir = os.path.join(CACHE, tag, "wal")
+    snap_dir = os.path.join(CACHE, tag, "snapshot")
+    done = os.path.join(CACHE, tag, "_DONE")
+    if not os.path.exists(done):
+        from plugin_debezium_ray.sources.binlog import (
+            snapshot_envelopes,
+            write_binlog_segments,
+        )
+
+        shutil.rmtree(os.path.join(CACHE, tag), ignore_errors=True)
+        write_binlog_segments(
+            wal_dir, n_events, n_keys, seed=WAL_SEED, num_segments=64
+        )
+        snapshot_envelopes(n_keys, seed=WAL_SEED, override_num_blocks=16).write_parquet(
+            snap_dir
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return wal_dir, n_events, n_keys
+
+
+def bench_cdc_replay(
+    sf_dir: str, events_per_row: int = EVENTS_PER_ROW
+) -> dict:
+    """Headline: full replay (snapshot + WAL) into a fresh lake — the
+    end-to-end events/sec metric of BASELINE.json."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from plugin_debezium_ray.config import CaptureConfig
+    from plugin_debezium_ray.pipelines.replay import ReplayJob
+
+    wal_dir, n_events, n_keys = ensure_wal(sf_dir, events_per_row)
+    snap_dir = os.path.join(os.path.dirname(wal_dir), "snapshot")
+    lake = f"/tmp/bench_lake_{os.getpid()}"
+    shutil.rmtree(lake, ignore_errors=True)
+    # warm the page cache with a REAL read (count() is metadata-only)
+    ray.data.read_parquet(wal_dir).map_batches(
+        lambda t: pa.table({"n": [len(t)]}), batch_format="pyarrow"
+    ).count()
+    t0 = time.monotonic()
+    job = ReplayJob(
+        CaptureConfig(num_buckets=NUM_BUCKETS, batch_size=REPLAY_BATCH),
+        lake,
+    )
+    res = job.run_from_paths(wal_dir, snapshot_paths=snap_dir)
+    dt = time.monotonic() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+    return {"sec": dt, "events": res.events_seen, "eps": res.events_seen / dt}
+
+
+def bench_cdc_decode(sf_dir: str) -> dict:
+    """Streaming decode (INLINE + enrichments) of the WAL, no shuffle."""
+    import ray.data
+
+    from plugin_debezium_ray.config import CaptureConfig
+    from plugin_debezium_ray.stages.decode import EnvelopeDecoder
+
+    wal_dir, n_events, _ = ensure_wal(sf_dir)
+    t0 = time.monotonic()
+    n = (
+        ray.data.read_parquet(wal_dir)
+        .map_batches(EnvelopeDecoder(CaptureConfig()), batch_format="pyarrow")
+        .count()
+    )
+    dt = time.monotonic() - t0
+    return {"sec": dt, "events": n, "eps": n / dt}
+
+
+def _suite(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as E
+
+    timings: dict[str, float] = {}
+    picks = [
+        "cdc_lww_apply",
+        "dedup_exact",
+        "dedup_minhash",
+        "text_quality",
+        "text_token_count",
+        "ann_brute_force",
+        "agg_event_stats",
+    ]
+    qs = E.queries()
+    for name in picks:
+        t0 = time.monotonic()
+        out = qs[name](sf_dir)
+        # consume lazily-built datasets so we time real execution
+        if hasattr(out, "count") and not hasattr(out, "columns"):
+            out.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    queries: dict[str, float] = {}
+    replay = bench_cdc_replay(SF_DIR)
+    queries["cdc_replay"] = round(replay["sec"], 3)
+    decode = bench_cdc_decode(SF_DIR)
+    queries["cdc_decode"] = round(decode["sec"], 3)
+    queries.update(_suite(SF_DIR))
+
+    result = {
+        "metric": "cdc-replay-and-operator-suite wall time",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replay_events": replay["events"],
+        "events_per_sec": round(replay["eps"], 1),
+        "decode_events_per_sec": round(decode["eps"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same replay at num_cpus=8 and 32 in fresh processes, best of two
+    runs per level (the sandbox is a noisy shared box), on the larger
+    scaling WAL so compute dominates fixed pipeline latency."""
+    # pre-generate the WAL once (at full parallelism) so both runs read
+    # the same cached input
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    ensure_wal(SF_DIR, SCALING_EVENTS_PER_ROW)
+    ray.shutdown()
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+        )
+        best = None
+        for _ in range(3):  # noisy shared box (CPU steal): best-of-3
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--replay-only", "--scaling-wal"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=REPO,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        return best
+
+    lo, hi = one(8), one(32)
+    eff = (lo["sec"] / hi["sec"]) / (32 / 8)
+    return {
+        "metric": "replay scaling efficiency (num_cpus 8 vs 32, N→4N stand-in)",
+        "sec_8": round(lo["sec"], 3),
+        "sec_32": round(hi["sec"], 3),
+        "eps_8": round(lo["eps"], 1),
+        "eps_32": round(hi["eps"], 1),
+        "replay_events": lo["events"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+def run_replay_only(events_per_row: int | None = None) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    out = bench_cdc_replay(SF_DIR, events_per_row or EVENTS_PER_ROW)
+    ray.shutdown()
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--replay-only" in sys.argv:
+        epr = SCALING_EVENTS_PER_ROW if "--scaling-wal" in sys.argv else None
+        print(json.dumps(run_replay_only(epr)))
+    else:
+        print(json.dumps(run_bench()))

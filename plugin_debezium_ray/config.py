@@ -123,7 +123,7 @@ class CaptureConfig:
     offset_commit_mode: OffsetCommitMode = OffsetCommitMode.ON_STOP
     # physical knobs
     num_buckets: int = 64  # primary-key hash partitions of the lake table
-    batch_size: int = 8192
+    batch_size: int = 65536
     apply_concurrency: int | tuple[int, int] | None = None
 
     def compiled_includes(self) -> list[re.Pattern] | None:

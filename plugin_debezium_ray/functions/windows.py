@@ -1,0 +1,108 @@
+"""Windowed aggregates over event streams (streaming-shaped workloads).
+
+The reference has no windows (SURVEY.md §2.7) — this is part of the
+training-data extension surface.  Ray Data has no event-time windowing
+either, so tumbling windows are expressed as the canonical two-phase
+aggregate: assign ``window_start = floor(ts)`` vectorized in
+``map_batches``, **pre-aggregate partials per (key, window) inside each
+batch**, then one small ``groupby().aggregate()`` over the partials —
+the shuffle carries one row per (key, window, batch) instead of one per
+event (the pre-aggregation pattern for 100-TB-scale groupbys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def assign_tumbling_window(
+    t: pa.Table, *, ts_col: str, window_seconds: int, out_col: str = "window_start"
+) -> pa.Table:
+    """Vectorized window assignment: timestamp → floor to window start."""
+    ts = pc.cast(t[ts_col], pa.timestamp("us"))  # normalize any unit
+    us = pc.cast(ts, pa.int64())
+    w = pa.scalar(window_seconds * 1_000_000, pa.int64())
+    # int64 divide truncates — floor for the (non-negative) epoch domain
+    start = pc.multiply(pc.divide(us, w), w)
+    return t.append_column(out_col, pc.cast(start, pa.timestamp("us")))
+
+
+def tumbling_window_agg(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str,
+    window_seconds: int,
+    key_cols: list[str],
+    sum_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """count + sums per (key, tumbling window), partials-first.
+
+    Output columns: key cols, ``window_start``, ``n``, ``sum_<col>``…"""
+    sum_cols = sum_cols or []
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = assign_tumbling_window(
+            t, ts_col=ts_col, window_seconds=window_seconds
+        )
+        df = t.select(key_cols + ["window_start"] + sum_cols).to_pandas()
+        g = df.groupby(key_cols + ["window_start"], sort=False, as_index=False)
+        out = g.size().rename(columns={"size": "n"})
+        if sum_cols:
+            sums = g.agg({c: "sum" for c in sum_cols}).rename(
+                columns={c: f"sum_{c}" for c in sum_cols}
+            )
+            out = out.merge(sums, on=key_cols + ["window_start"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("n", alias_name="n")]
+    for c in sum_cols:
+        aggs.append(Sum(f"sum_{c}", alias_name=f"sum_{c}"))
+    return partials.groupby(key_cols + ["window_start"]).aggregate(*aggs)
+
+
+def session_windows(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str,
+    key_col: str,
+    gap_seconds: int,
+) -> "ray.data.Dataset":
+    """Session windowing: per key, events within ``gap_seconds`` of the
+    previous event share a session.  One groupby(key) shuffle; the
+    sessionization itself is a sorted pandas pass per group (the
+    map_groups idiom for stateful per-key stream logic).
+
+    Output: one row per session — key, session_start, session_end,
+    n_events."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        new_session = np.concatenate(
+            [[True], gaps > gap_seconds * 1_000_000]
+        )
+        sid = np.cumsum(new_session)
+        out = (
+            g.assign(_sid=sid)
+            .groupby("_sid")
+            .agg(
+                **{
+                    key_col: (key_col, "first"),
+                    "session_start": (ts_col, "min"),
+                    "session_end": (ts_col, "max"),
+                    "n_events": (ts_col, "size"),
+                }
+            )
+            .reset_index(drop=True)
+        )
+        return out
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

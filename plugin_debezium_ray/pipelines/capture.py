@@ -1,0 +1,70 @@
+"""Capture-to-files — the reference's primary sink surface (K1/K3).
+
+The reference writes one Ion/JSON file per stream (lazily opened,
+appended per record, uploaded at end — `ChangeConsumer.java:179-193`,
+`AbstractDebeziumTask.java:250-268`) and returns
+``Output{size, uris, stateOffsetKey}`` (`AbstractDebeziumTask.java:766-795`).
+
+Ray-native equivalent: decode/format via ``map_batches`` and
+``write_parquet(partition_cols=["_stream"])`` — one Parquet directory per
+stream (hive-partitioned), streaming with backpressure, never
+materializing.  Per-stream record counts (ST6 metrics) come from the
+written files' parquet metadata — no second pass over the data.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+from plugin_debezium_ray.config import CaptureConfig
+from plugin_debezium_ray.stages.decode import STREAM_COL, EnvelopeDecoder
+
+
+@dataclass
+class CaptureOutput:
+    """The reference Output contract (K3): total size, per-stream URIs,
+    per-stream counts (the Counter metrics of ST6)."""
+
+    size: int
+    uris: dict[str, str] = field(default_factory=dict)
+    counts: dict[str, int] = field(default_factory=dict)
+
+
+def capture_to_files(
+    envelopes: "ray.data.Dataset",
+    config: CaptureConfig,
+    out_dir: str,
+    *,
+    min_rows_per_file: int | None = None,
+) -> CaptureOutput:
+    """Decode + format the envelope stream and write one Parquet
+    directory per output stream.
+
+    Stream routing follows ``config.split_table`` (M9): OFF → single
+    ``data`` stream, DATABASE → per-db, TABLE → per-db.table."""
+    decoder = EnvelopeDecoder(config)
+    decoded = envelopes.map_batches(
+        decoder, batch_format="pyarrow", batch_size=config.batch_size
+    )
+    kw = {}
+    if min_rows_per_file is not None:
+        kw["min_rows_per_file"] = min_rows_per_file
+    decoded.write_parquet(out_dir, partition_cols=[STREAM_COL], **kw)
+
+    counts: dict[str, int] = {}
+    uris: dict[str, str] = {}
+    for part_dir in sorted(glob.glob(os.path.join(out_dir, f"{STREAM_COL}=*"))):
+        stream = os.path.basename(part_dir).split("=", 1)[1]
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(part_dir, "*.parquet"))
+        )
+        counts[stream] = n
+        uris[stream] = part_dir
+    return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)

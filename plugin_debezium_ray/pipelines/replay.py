@@ -38,7 +38,10 @@ from plugin_debezium_ray.stages.apply import (
 )
 from plugin_debezium_ray.stages.decode import EnvelopeDecoder
 from plugin_debezium_ray.state.checkpoint import CheckpointManager, build_manifest
-from plugin_debezium_ray.state.schema_registry import registry_from_envelopes
+from plugin_debezium_ray.state.schema_registry import (
+    SchemaRegistry,
+    registry_from_envelopes,
+)
 
 
 @dataclass
@@ -90,10 +93,18 @@ class ReplayJob:
         envelopes: "ray.data.Dataset",
         *,
         snapshot: "ray.data.Dataset | None" = None,
+        ddl_source: "ray.data.Dataset | bool | None" = None,
     ) -> ReplayResult:
         """One batch capture: restore state → schema replay → apply →
         atomic commit.  Idempotent: rerunning with the same envelopes
-        applies zero events (the CaptureTest.java:97-99 contract)."""
+        applies zero events (the CaptureTest.java:97-99 contract).
+
+        ``ddl_source``: column-pruned Dataset to scan for DDL events
+        (pass ``read_parquet(wal, columns=["lsn","seq","op","ddl"])`` —
+        Ray 2.49 does not push ``select_columns`` into the read, so
+        deriving it from ``envelopes`` re-deserializes the image columns);
+        ``False`` skips the scan for sources known to carry no DDL;
+        ``None`` derives from ``envelopes``."""
         t0 = time.monotonic()
         cfg = self.cfg
         parent = self.ckpt.restore()
@@ -106,12 +117,17 @@ class ReplayJob:
             (f.name, str(f.type))
             for f in payload_fields_of(_env_schema(envelopes))
         ]
-        reg = registry_from_envelopes(
-            envelopes,
-            base_fields,
-            prior_snapshot=(parent or {}).get("schema"),
-            max_lsn=cfg.max_lsn,
-        )
+        if ddl_source is False:
+            reg = SchemaRegistry.from_snapshot((parent or {}).get("schema")) \
+                if (parent or {}).get("schema") else SchemaRegistry(base_fields)
+        else:
+            reg = registry_from_envelopes(
+                ddl_source if ddl_source is not None else envelopes,
+                base_fields,
+                prior_snapshot=(parent or {}).get("schema"),
+                max_lsn=cfg.max_lsn,
+            )
+        t_registry = time.monotonic() - t0
         renames, added = reg.rename_map(), reg.added_columns()
 
         ds = envelopes
@@ -164,6 +180,7 @@ class ReplayJob:
         def merge_bucket(group: pa.Table) -> pa.Table:
             return merge(group)
 
+        t_apply0 = time.monotonic()
         stats = applied.groupby(BUCKET_COL).map_groups(
             merge_bucket, batch_format="pyarrow"
         )
@@ -175,7 +192,11 @@ class ReplayJob:
             stats_rows=stats_rows,
             parent=parent,
             schema_snapshot=reg.snapshot(),
-            extra_metrics={"wall_seconds": time.monotonic() - t0},
+            extra_metrics={
+                "wall_seconds": time.monotonic() - t0,
+                "registry_seconds": round(t_registry, 3),
+                "apply_wall_seconds": round(time.monotonic() - t_apply0, 3),
+            },
         )
         mpath = self.ckpt.save(manifest)
         return ReplayResult(
@@ -188,6 +209,27 @@ class ReplayJob:
             time.monotonic() - t0,
             metrics=manifest["metrics"],
         )
+
+    def run_from_paths(
+        self,
+        wal_paths: str | list[str],
+        *,
+        snapshot_paths: str | list[str] | None = None,
+        **kw,
+    ) -> ReplayResult:
+        """Convenience: replay Parquet WAL segments by path, with the
+        DDL scan automatically column-pruned at the read (the projection
+        the Ray 2.49 planner won't derive itself)."""
+        env = ray.data.read_parquet(wal_paths)
+        ddl = ray.data.read_parquet(
+            wal_paths, columns=["lsn", "seq", "op", "ddl"]
+        )
+        snap = (
+            ray.data.read_parquet(snapshot_paths)
+            if snapshot_paths is not None
+            else None
+        )
+        return self.run(env, snapshot=snap, ddl_source=ddl, **kw)
 
     def run_segments(
         self,

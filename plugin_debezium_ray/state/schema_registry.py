@@ -120,7 +120,11 @@ def registry_from_envelopes(
             keep = pc.and_(keep, pc.less_equal(t["lsn"], max_lsn))
         return t.select(["lsn", "seq", "ddl"]).filter(keep)
 
-    rows = env_ds.map_batches(ddl_only, batch_format="pyarrow").take_all()
+    # select_columns FIRST so Ray's planner pushes the projection into the
+    # parquet read — the DDL scan must never deserialize the before/after
+    # image columns (they dominate the WAL's bytes)
+    pruned = env_ds.select_columns(["lsn", "seq", "op", "ddl"])
+    rows = pruned.map_batches(ddl_only, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: (r["lsn"], r["seq"]))
     reg = (
         SchemaRegistry.from_snapshot(prior_snapshot)

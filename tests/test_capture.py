@@ -1,0 +1,48 @@
+"""Capture-to-files sink (K1/K3): per-stream Parquet output + Output
+contract, mirroring the reference's per-stream file writer semantics."""
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+from plugin_debezium_ray.config import CaptureConfig, SplitTable
+from plugin_debezium_ray.pipelines.capture import capture_to_files
+from plugin_debezium_ray.sources.from_table import envelopes_from_table
+
+
+def _env_ds():
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "kind": ["a", "a", "b", "b"],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    return envelopes_from_table(
+        ray.data.from_pandas(df),
+        key_cols=("id",),
+        lsn_col="id",
+        payload_cols=["id", "kind", "v"],
+        op_col="kind",
+        op_map={},
+        db="db1",
+        table_col="kind",
+    )
+
+
+def test_split_by_table(tmp_path):
+    out = capture_to_files(_env_ds(), CaptureConfig(key_cols=("id",)), str(tmp_path))
+    assert out.size == 4
+    assert set(out.counts) == {"db1.a", "db1.b"}
+    assert out.counts["db1.a"] == 2 and out.counts["db1.b"] == 2
+    t = pq.read_table(out.uris["db1.a"])
+    assert set(t["id"].to_pylist()) == {1, 2}
+    assert "deleted" in t.column_names and "metadata" in t.column_names
+
+
+def test_split_off_single_stream(tmp_path):
+    cfg = CaptureConfig(key_cols=("id",), split_table=SplitTable.OFF)
+    out = capture_to_files(_env_ds(), cfg, str(tmp_path))
+    assert list(out.counts) == ["data"] and out.size == 4
