@@ -334,7 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "cdc_inline_decode": f"""
+        "cdc_inline_decode": """
             SELECT user_id, event_type, value,
                    (event_type = 'error') AS deleted
             FROM events

@@ -34,11 +34,12 @@ CACHE = "/tmp/graft_bench_cache"
 # WAL scale: ~20 change events per events-table row (sf0.1 → 2M events);
 # the scaling run uses 2× that so compute dominates fixed pipeline latency
 EVENTS_PER_ROW = 20
-SCALING_EVENTS_PER_ROW = 40
+SCALING_EVENTS_PER_ROW = 80
 WAL_SEED = 42
 # identical bucket count at every parallelism level (comparable work)
 NUM_BUCKETS = int(os.environ.get("GRAFT_NUM_BUCKETS", "128"))
-REPLAY_BATCH = 131072
+REPLAY_BATCH = 131072  # measured sweet spot (262144 degrades: buffering)
+TARGET_BLOCK_MB = 512  # wide content rows: fewer, larger blocks win
 
 
 def _events_rows(sf_dir: str) -> int:
@@ -166,7 +167,9 @@ def run_bench() -> dict:
         )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.target_max_block_size = TARGET_BLOCK_MB * 1024 * 1024
 
     queries: dict[str, float] = {}
     replay = bench_cdc_replay(SF_DIR)
@@ -249,7 +252,9 @@ def run_replay_only(events_per_row: int | None = None) -> dict:
              logging_level="ERROR")
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.target_max_block_size = TARGET_BLOCK_MB * 1024 * 1024
     out = bench_cdc_replay(SF_DIR, events_per_row or EVENTS_PER_ROW)
     ray.shutdown()
     return out

@@ -76,40 +76,43 @@ _WORD_RE = re.compile(r"\S+")
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """uint64 hashes of word k-shingles (k consecutive tokens)."""
+    """uint64 hashes of word k-shingles (k consecutive tokens).
+
+    Vectorized: build the shingle strings once, hash the whole array with
+    pandas' fixed-key SipHash (deterministic across processes) instead of
+    per-shingle hashlib calls."""
     toks = _WORD_RE.findall(text.lower())
     if len(toks) < k:
         toks = toks + [""] * (k - len(toks))
-    out = np.empty(max(1, len(toks) - k + 1), dtype=np.uint64)
-    for i in range(len(out)):
-        sh = " ".join(toks[i : i + k])
-        out[i] = int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "big")
-    return out
+    shingles = np.array(
+        [" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))],
+        dtype=object,
+    )
+    return pd.util.hash_array(shingles)
 
 
 class MinHasher:
-    """Per-batch MinHash signatures: ``num_perm`` permutations via the
-    universal-hash trick  h_i(x) = (a_i * x + b_i) mod p  (Broder '97).
-    Coefficients are built ONCE per actor in ``__init__`` (actor pool)."""
-
-    P = (1 << 61) - 1
+    """Per-batch MinHash signatures: ``num_perm`` hash functions
+    h_i(x) = splitmix64(x XOR seed_i) (Broder '97 minwise estimation with
+    independent mixing functions instead of modular affine permutations —
+    fully vectorized uint64, no Python-object bignum math).  Seeds are
+    built ONCE per actor in ``__init__`` (actor pool)."""
 
     def __init__(self, num_perm: int = 128, k: int = 3, text_col: str = "text",
                  seed: int = 1):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, self.P, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, self.P, size=num_perm, dtype=np.uint64)
+        self.seeds = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
         self.k = k
         self.num_perm = num_perm
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        x = _shingle_hashes(text, self.k).astype(object)  # exact mod-p math
-        a = self.a.astype(object)
-        b = self.b.astype(object)
-        # (num_perm, n_shingles) permuted values — min over shingles
-        vals = (np.outer(a, x) + b[:, None]) % self.P
-        return vals.min(axis=1).astype(np.uint64)
+        from plugin_debezium_ray.sources.rand import splitmix64
+
+        x = _shingle_hashes(text, self.k)
+        # (num_perm, n_shingles) mixed values — min over shingles
+        vals = splitmix64(np.bitwise_xor.outer(self.seeds, x))
+        return vals.min(axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         sigs = [
@@ -132,46 +135,82 @@ def minhash_lsh_pairs(
     bands: int = 32,
     k: int = 3,
     seed: int = 1,
+    num_partitions: int = 64,
+    max_all_pairs_bucket: int = 64,
 ) -> list[tuple]:
     """Candidate near-dup pairs via LSH banding: signature → ``bands``
-    bands of r=num_perm/bands rows → groupby (band_id, band_hash) →
-    all-pairs within each (small) bucket.
+    bands of r=num_perm/bands rows → ONE groupby on a coarse partition of
+    the band-hash space → **vectorized** within-partition pairing.
 
-    Returns the deduplicated candidate pair list (small by construction).
+    Millions of (band, band_hash) buckets would mean millions of
+    ``map_groups`` calls; instead buckets are routed to
+    ``num_partitions`` coarse groups and paired with a pandas self-merge
+    (all-pairs for buckets ≤ ``max_all_pairs_bucket``; star-to-min-doc
+    beyond, which preserves connected-component clustering while keeping
+    giant near-identical clusters linear, not quadratic).
     """
+    from plugin_debezium_ray.sources.rand import splitmix64
+
     r = num_perm // bands
     hasher = MinHasher(num_perm=num_perm, k=k, text_col=text_col, seed=seed)
 
     def explode_bands(t: pa.Table) -> pa.Table:
-        t = hasher(t)
-        ids, band_ids, band_hashes = [], [], []
-        for i, sig in enumerate(t["minhash"].to_pylist()):
-            if sig is None:
-                continue
-            doc = t[id_col][i].as_py()
-            s = np.asarray(sig, dtype=np.uint64)
-            for bnd in range(bands):
-                chunk = s[bnd * r : (bnd + 1) * r]
-                bh = hashlib.md5(chunk.tobytes() + bytes([bnd])).hexdigest()[:16]
-                ids.append(doc)
-                band_ids.append(bnd)
-                band_hashes.append(bh)
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        valid = [i for i, v in enumerate(texts) if v is not None]
+        if not valid:
+            return pa.table(
+                {id_col: pa.array([], t[id_col].type),
+                 "band": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.uint64()),
+                 "part": pa.array([], pa.int32())}
+            )
+        sigs = np.stack([hasher.signature(texts[i]) for i in valid])
+        sigs = sigs.reshape(len(valid), bands, r)
+        # vectorized band hash: xor-fold + mix over the r minhashes
+        bh = np.zeros((len(valid), bands), dtype=np.uint64)
+        for j in range(r):
+            bh = splitmix64(bh ^ sigs[:, :, j])
+        bh = splitmix64(bh ^ np.arange(bands, dtype=np.uint64)[None, :])
+        out_ids = np.repeat(ids[valid], bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), len(valid))
+        out_bh = bh.reshape(-1)
         return pa.table(
-            {id_col: ids, "band": band_ids, "band_hash": band_hashes}
+            {
+                id_col: pa.array(out_ids),
+                "band": pa.array(out_band),
+                "band_hash": pa.array(out_bh),
+                "part": pa.array((out_bh % np.uint64(num_partitions)).astype(np.int32)),
+            }
         )
 
     exploded = ds.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(g[id_col].unique())
-        if len(docs) < 2:
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([id_col, "band", "band_hash"])
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        g2 = g[sizes > 1]
+        if g2.empty:
             return pd.DataFrame({"a": [], "b": []})
-        pairs = [(docs[i], docs[j]) for i in range(len(docs))
-                 for j in range(i + 1, len(docs))]
-        return pd.DataFrame(pairs, columns=["a", "b"])
+        small = g2[sizes[g2.index] <= max_all_pairs_bucket]
+        parts = []
+        if not small.empty:
+            m = small.merge(small, on=["band", "band_hash"])
+            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+            parts.append(m[[f"{id_col}_x", f"{id_col}_y"]].rename(
+                columns={f"{id_col}_x": "a", f"{id_col}_y": "b"}))
+        big = g2[sizes[g2.index] > max_all_pairs_bucket]
+        if not big.empty:
+            mins = big.groupby(["band", "band_hash"])[id_col].transform("min")
+            star = big[big[id_col] != mins]
+            parts.append(pd.DataFrame({"a": mins[star.index].to_numpy(),
+                                       "b": star[id_col].to_numpy()}))
+        out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+            {"a": [], "b": []})
+        return out.drop_duplicates()
 
-    pair_ds = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pair_ds = exploded.groupby("part").map_groups(
+        partition_pairs, batch_format="pandas"
     )
     pairs = {(row["a"], row["b"]) for row in pair_ds.take_all()}
     return sorted(pairs)

@@ -238,7 +238,14 @@ class ReplayJob:
     ) -> list[ReplayResult]:
         """ON_EACH_BATCH commit cadence (ST4): one atomic commit per
         segment group; ON_STOP is a single ``run`` over the union.  Both
-        cadences converge to the identical final state (idempotency)."""
+        cadences converge to the identical final state (idempotency).
+
+        PRECONDITION: segment groups must be applied in ascending LSN
+        order (the log-tail contract, `ChangeConsumer.java:70-87`) — the
+        offset ledger is a per-bucket high-water mark, so applying an
+        older segment AFTER a newer one would filter the older events as
+        already-applied.  Within one group, any order is fine (the merge
+        sorts by (lsn, seq) per key)."""
         if self.cfg.offset_commit_mode == OffsetCommitMode.ON_STOP:
             ds = segment_groups[0]
             for other in segment_groups[1:]:

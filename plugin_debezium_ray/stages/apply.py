@@ -32,7 +32,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from plugin_debezium_ray.envelope import DELETED_OPS, OP_DDL
-from plugin_debezium_ray.functions.hashing import bucket_of
 
 BUCKET_COL = "_bucket"
 WEIGHT_COL = "_weight"
@@ -130,7 +129,11 @@ def project_for_apply(
                 **cols,
             }
         )
-        return out.append_column(BUCKET_COL, bucket_of(out, key_cols, num_buckets))
+        # composite key computed ONCE, reused for bucket hash + pre-reduce
+        key = _composite_key(out, key_cols)
+        h = pd.util.hash_array(key.astype(object, copy=False))
+        bucket = pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        return out.append_column(BUCKET_COL, bucket), key
 
     def fn(t: pa.Table) -> pa.Table:
         # drop non-envelope rows (DDL / tombstones): op must be a data op
@@ -141,22 +144,24 @@ def project_for_apply(
         )
         if max_lsn is not None:
             keep = pc.and_(keep, pc.less_equal(t["lsn"], max_lsn))
-        out = project(t.filter(keep))
+        out, key = project(t.filter(keep))
         if len(out) == 0:
             return out
 
         # ledger filter: skip events at-or-before the per-bucket high-water
         # mark (ST1 idempotent replay, AbstractDebeziumTask.java:640-693)
         if ledger:
+            n_before = len(out)
             out = _ledger_filter(out, ledger)
             if len(out) == 0:
                 return out
+            if len(out) != n_before:
+                key = _composite_key(out, key_cols)
 
         # per-batch pre-reduce: last event per key wins (lossless for LWW).
         # `_weight` = raw events each winner represents, so consumed-record
         # accounting (the reference Output.size) survives the reduce with
         # no second pass over the stream.
-        key = _composite_key(out, key_cols)
         win, weights = _winners_and_weights(
             key, out["lsn"].to_numpy(), out["seq"].to_numpy()
         )
@@ -187,22 +192,26 @@ def _ledger_filter(t: pa.Table, ledger: dict[int, tuple[int, int]]) -> pa.Table:
 
 
 def _winners_mask(key: np.ndarray, lsn: np.ndarray, seq: np.ndarray) -> np.ndarray:
-    """Indices of the max-(lsn,seq) row per key (vectorized, stable)."""
-    df = pd.DataFrame({"k": key, "i": np.arange(len(key))})
-    order = np.lexsort((seq, lsn))  # ascending by (lsn, seq)
-    df = df.iloc[order]
-    return df.groupby("k", sort=False)["i"].last().to_numpy()
+    """Indices of the max-(lsn,seq) row per key (pure numpy after a
+    single factorize pass — no object-dtype groupby in the hot path)."""
+    win, _ = _winners_and_weights(key, lsn, seq)
+    return win
 
 
 def _winners_and_weights(
     key: np.ndarray, lsn: np.ndarray, seq: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Winner index per key plus the count of rows it subsumes."""
-    df = pd.DataFrame({"k": key, "i": np.arange(len(key))})
-    order = np.lexsort((seq, lsn))
-    df = df.iloc[order]
-    g = df.groupby("k", sort=False)["i"]
-    return g.last().to_numpy(), g.size().to_numpy()
+    """Winner index per key plus the count of rows it subsumes.
+
+    factorize → lexsort by (lsn, seq) → reversed-order np.unique gives
+    the LAST occurrence per key code (= LWW winner), all vectorized."""
+    codes, _ = pd.factorize(key, use_na_sentinel=False)
+    order = np.lexsort((seq, lsn))  # ascending by (lsn, seq)
+    rev = order[::-1]
+    _, first_in_rev = np.unique(codes[rev], return_index=True)
+    win = rev[first_in_rev]
+    weights = np.bincount(codes)[codes[win]]
+    return win, weights
 
 
 class BucketMerge:
