@@ -86,6 +86,34 @@ class ReplayJob:
         )
         self.fingerprint_col = fingerprint_col
 
+    @classmethod
+    def for_task(
+        cls,
+        config: CaptureConfig,
+        table_dir: str,
+        *,
+        namespace: str,
+        flow: str,
+        task: str,
+        iteration: str | int | None = None,
+        override_connector_id: str | None = None,
+        **kw,
+    ) -> "ReplayJob":
+        """The reference task lifecycle steps 1-2 (SURVEY.md §3.1):
+        derive the stable connector identity from (namespace, flow, task,
+        iteration) — so N concurrent iterations never collide
+        (`AbstractDebeziumTask.java:298-343`) — and migrate any legacy
+        checkpoint state in place, idempotently and best-effort
+        (`:399-518`), before the job runs."""
+        from plugin_debezium_ray.state.identity import connector_id
+        from plugin_debezium_ray.state.migration import migrate_table_dir
+
+        cid = override_connector_id or connector_id(
+            namespace, flow, task, iteration
+        )
+        migrate_table_dir(table_dir, cid, override_id=override_connector_id)
+        return cls(config, table_dir, connector_id=cid, **kw)
+
     # ------------------------------------------------------------- run
 
     def run(
@@ -174,6 +202,7 @@ class ReplayJob:
             data_dir,
             f"v{version:06d}",
             prior_paths=prior_paths,
+            prior_fingerprints=self.ckpt.bucket_fingerprints() if parent else {},
             ledger=ledger,
             fingerprint_col=self.fingerprint_col,
         )
@@ -208,6 +237,16 @@ class ReplayJob:
             self.table_dir,
             time.monotonic() - t0,
             metrics=manifest["metrics"],
+        )
+
+    def run_source(self, source, **kw) -> ReplayResult:
+        """Run any object implementing the Source protocol (§2.8) —
+        the 'one class per connector' extension surface."""
+        return self.run(
+            source.envelopes(),
+            snapshot=source.snapshot(),
+            ddl_source=source.ddl_source(),
+            **kw,
         )
 
     def run_from_paths(

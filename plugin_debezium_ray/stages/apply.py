@@ -230,6 +230,7 @@ class BucketMerge:
         commit_id: str,
         *,
         prior_paths: dict[int, str] | None = None,
+        prior_fingerprints: dict[int, str] | None = None,
         ledger: dict[int, tuple[int, int]] | None = None,
         fingerprint_col: str | None = "content",
     ):
@@ -237,6 +238,7 @@ class BucketMerge:
         self.out_dir = out_dir
         self.commit_id = commit_id
         self.prior_paths = prior_paths or {}
+        self.prior_fingerprints = prior_fingerprints or {}
         self.ledger = ledger or {}
         self.fingerprint_col = fingerprint_col
 
@@ -288,6 +290,8 @@ class BucketMerge:
         upserts = group.filter(pa.array(~deleted)).select(data_cols)
 
         prior_path = self.prior_paths.get(bucket)
+        prior_fp = self.prior_fingerprints.get(bucket)
+        fp: str | None = None
         if prior_path is not None and os.path.exists(prior_path):
             prior = pq.read_table(prior_path)
             prior_key = _composite_key(prior, self.key_cols)
@@ -298,6 +302,15 @@ class BucketMerge:
                 [prior.filter(pa.array(~dead)), upserts],
                 promote_options="default",
             )
+            if prior_fp is not None:
+                # incremental fingerprint: XOR algebra lets us update the
+                # partition digest touching ONLY removed + added rows —
+                # never re-hashing the unchanged bulk (10^10-row scale)
+                removed = self._xor_rows(
+                    prior.filter(pa.array(dead)), prior_key[dead]
+                )
+                added = self._xor_rows(upserts, key[~deleted])
+                fp = f"{int(prior_fp, 16) ^ removed ^ added:064x}"
         else:
             merged = upserts
 
@@ -314,16 +327,19 @@ class BucketMerge:
 
         stats["rows"] = len(merged)
         stats["path"] = path
-        stats["fingerprint"] = self._fingerprint(merged, merged_key[order])
+        if fp is None:
+            fp = f"{self._xor_rows(merged, merged_key[order]):064x}"
+        stats["fingerprint"] = fp
         stats["apply_seconds"] = time.monotonic() - t0
         return pa.table(
             {k: pa.array([stats[k]], type=typ) for k, typ in APPLY_STATS_FIELDS}
         )
 
-    def _fingerprint(self, t: pa.Table, keys: np.ndarray) -> str:
-        """Order-independent per-partition content fingerprint: XOR of
+    def _xor_rows(self, t: pa.Table, keys: np.ndarray) -> int:
+        """Order-independent row-set digest: XOR of
         sha256(key || content-ish column) — the distributed sha256-parity
-        primitive (never collects rows to the driver)."""
+        primitive (never collects rows to the driver), and a commutative
+        group under XOR so removals/additions update it incrementally."""
         col = self.fingerprint_col if self.fingerprint_col in t.column_names else None
         vals = (
             t[col].to_numpy(zero_copy_only=False)
@@ -336,4 +352,4 @@ class BucketMerge:
                 (str(k) + "\x00" + ("" if v is None else str(v))).encode()
             ).digest()
             acc ^= int.from_bytes(h, "big")
-        return f"{acc:064x}"
+        return acc

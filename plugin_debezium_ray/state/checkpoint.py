@@ -133,6 +133,16 @@ class CheckpointManager:
             return {}
         return {int(k): v["path"] for k, v in m.get("buckets", {}).items()}
 
+    def bucket_fingerprints(self) -> dict[int, str]:
+        m = self.restore()
+        if not m:
+            return {}
+        return {
+            int(k): v["fingerprint"]
+            for k, v in m.get("buckets", {}).items()
+            if v.get("fingerprint")
+        }
+
 
 def build_manifest(
     *,
