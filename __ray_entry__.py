@@ -272,6 +272,39 @@ def q_agg_event_stats(sf_dir: str):
     return df
 
 
+def q_cdc_multi_table(sf_dir: str):
+    """Multi-table capture: one stream → one lake per db.table
+    (event_type as the table), final row count per table."""
+    import pandas as pd
+
+    from plugin_debezium_ray.pipelines.multi_table import replay_multi_table
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    env = envelopes_from_table(
+        ds,
+        key_cols=("user_id",),
+        lsn_col="event_id",
+        payload_cols=["user_id", "value"],
+        db="testdb",
+        table_col="event_type",
+    )
+    with tempfile.TemporaryDirectory(prefix="mt_", dir="/tmp") as d:
+        results = replay_multi_table(
+            env, d, CaptureConfig(key_cols=("user_id",), num_buckets=8)
+        )
+        rows = [
+            {"stream": s, "n_rows": ReplayJob(
+                CaptureConfig(key_cols=("user_id",), num_buckets=8),
+                os.path.join(d, s),
+            ).read_table().count(), "events": r.events_seen}
+            for s, r in sorted(results.items())
+        ]
+    return pd.DataFrame(rows)
+
+
 def q_window_tumbling(sf_dir: str):
     """Streaming-shaped: hourly tumbling count+sum per event_type
     (partial pre-aggregation before the one groupby)."""
@@ -329,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_event_stats": q_agg_event_stats,
         "window_tumbling": q_window_tumbling,
         "window_sessions": q_window_sessions,
+        "cdc_multi_table": q_cdc_multi_table,
     }
 
 
@@ -399,6 +433,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "cdc_multi_table": """
+            SELECT 'testdb.' || event_type AS stream,
+                   count(DISTINCT user_id) AS n_rows,
+                   count(*) AS events
+            FROM events GROUP BY event_type
         """,
         "window_sessions": """
             WITH d AS (

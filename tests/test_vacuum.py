@@ -1,0 +1,56 @@
+"""Vacuum (safe GC of old commit versions) and manifest history."""
+
+import os
+
+from plugin_debezium_ray.config import CaptureConfig
+from plugin_debezium_ray.pipelines.replay import ReplayJob
+from plugin_debezium_ray.sources.binlog import binlog
+from plugin_debezium_ray.state.vacuum import list_history, vacuum
+
+
+def _three_commits(tmp_path):
+    job = ReplayJob(CaptureConfig(num_buckets=4), str(tmp_path))
+    for i, seed in enumerate((1, 2, 3)):
+        job.run(binlog(400, 60, seed=seed, base_lsn=1 + i * 10_000),
+                ddl_source=False)
+    return job
+
+
+def test_history(tmp_path):
+    job = _three_commits(tmp_path)
+    h = list_history(str(tmp_path))
+    assert [x["version"] for x in h] == [1, 2, 3]
+    assert h[2]["parent"] == 2
+
+
+def test_vacuum_keeps_live_data(tmp_path):
+    job = _three_commits(tmp_path)
+    before = job.read_table().to_pandas().sort_values(["repo", "path"])
+    live_paths = set(job.ckpt.bucket_paths().values())
+
+    stats = vacuum(str(tmp_path), keep_manifests=1)
+    assert stats["deleted_files"] > 0 and stats["freed_bytes"] > 0
+    # live files untouched, table readable and identical
+    for p in live_paths:
+        assert os.path.exists(p)
+    after = job.read_table().to_pandas().sort_values(["repo", "path"])
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    # old manifests gone, CURRENT still resolves
+    assert [x["version"] for x in list_history(str(tmp_path))] == [3]
+    assert job.ckpt.current_version() == 3
+
+
+def test_vacuum_dry_run_and_empty(tmp_path):
+    job = _three_commits(tmp_path)
+    n_before = sum(
+        len(files)
+        for _, _, files in os.walk(os.path.join(str(tmp_path), "data"))
+    )
+    stats = vacuum(str(tmp_path), dry_run=True)
+    n_after = sum(
+        len(files)
+        for _, _, files in os.walk(os.path.join(str(tmp_path), "data"))
+    )
+    assert n_before == n_after and stats["deleted_files"] > 0
+    assert vacuum(str(tmp_path / "nope")) == {
+        "deleted_files": 0, "freed_bytes": 0, "kept_files": 0}
