@@ -27,8 +27,21 @@ import pyarrow.compute as pc
 
 import ray.data
 
+import numpy as np
+import pandas as pd
+
 from plugin_debezium_ray.config import CaptureConfig
 from plugin_debezium_ray.pipelines.replay import ReplayJob, ReplayResult
+from plugin_debezium_ray.stages.apply import (
+    BUCKET_COL,
+    WEIGHT_COL,
+    BucketMerge,
+    _composite_key,
+    _winners_and_weights,
+)
+from plugin_debezium_ray.state.checkpoint import CheckpointManager, build_manifest
+
+STREAM_COL = "_stream"
 
 
 def discover_streams(
@@ -107,4 +120,193 @@ def replay_multi_table(
         )
         snap = (snapshot_by_stream or {}).get(stream)
         results[stream] = job.run(filtered, snapshot=snap)
+    return results
+
+
+# --------------------------------------------------- single-pass variant
+
+
+def replay_multi_table_single_pass(
+    envelopes: "ray.data.Dataset",
+    base_dir: str,
+    config: CaptureConfig,
+    *,
+    connector_id: str | None = None,
+    fingerprint_col: str = "content",
+) -> dict[str, ReplayResult]:
+    """All tables in ONE pass over the WAL and ONE shared shuffle.
+
+    The per-stream loop of ``replay_multi_table`` re-reads the stream per
+    table; here the partition key becomes ``(stream, hash(key) % B)``, so
+    a single groupby routes every table's events to its merge groups —
+    the minimize-shuffles layout for many-table sources.  Per-stream
+    manifests/ledgers stay independent (commits are still per table,
+    folded from the shared stats output).
+
+    Constraint (as with the N-pass variant): all tables share one payload
+    struct schema in the envelope stream; DDL events are global.
+    """
+    import time
+
+    t0 = time.monotonic()
+    streams = discover_streams(
+        envelopes,
+        included=config.included_tables,
+        excluded=config.excluded_tables,
+    )
+    ckpts = {
+        s: CheckpointManager(os.path.join(base_dir, s)) for s in streams
+    }
+    parents = {s: ckpts[s].restore() for s in streams}
+    versions = {
+        s: (int(p["version"]) + 1) if p else 1 for s, p in parents.items()
+    }
+    ledgers = {s: ckpts[s].ledger() if parents[s] else {} for s in streams}
+    prior_paths = {
+        s: ckpts[s].bucket_paths() if parents[s] else {} for s in streams
+    }
+    prior_fps = {
+        s: ckpts[s].bucket_fingerprints() if parents[s] else {}
+        for s in streams
+    }
+
+    key_cols = config.key_cols
+    num_buckets = config.num_buckets
+    stream_set = set(streams)
+
+    def project_multi(t: pa.Table) -> pa.Table:
+        op = t["op"]
+        keep = pc.and_(pc.is_valid(op), pc.invert(
+            pc.fill_null(pc.equal(op, "ddl"), False)))
+        if config.max_lsn is not None:
+            keep = pc.and_(keep, pc.less_equal(t["lsn"], config.max_lsn))
+        t = t.filter(keep)
+        n = len(t)
+        src = t["source"].combine_chunks()
+        stream = pc.binary_join_element_wise(
+            pc.fill_null(src.field("db"), ""),
+            pc.fill_null(src.field("table"), ""),
+            ".",
+        )
+        after = t["after"].combine_chunks()
+        ptype = after.type
+        cols = dict(
+            zip([ptype.field(i).name for i in range(ptype.num_fields)],
+                after.flatten())
+        )
+        key_struct = t["key"].combine_chunks()
+        kt = key_struct.type
+        for i in range(kt.num_fields):
+            kn = kt.field(i).name
+            cols[kn] = (
+                pc.coalesce(cols[kn], key_struct.field(i))
+                if kn in cols
+                else key_struct.field(i)
+            )
+        out = pa.table(
+            {
+                STREAM_COL: stream,
+                "lsn": t["lsn"].combine_chunks(),
+                "seq": t["seq"].combine_chunks(),
+                "deleted": pc.fill_null(
+                    pc.is_in(t["op"], value_set=pa.array(["d", "t"])), False
+                ).combine_chunks()
+                if n
+                else pa.nulls(0, pa.bool_()),
+                **cols,
+            }
+        )
+        # drop rows of non-selected streams (include/exclude lists)
+        s_np = stream.to_numpy(zero_copy_only=False)
+        sel = np.array([x in stream_set for x in s_np])
+        if not sel.all():
+            out = out.filter(pa.array(sel))
+            s_np = s_np[sel]
+        if len(out) == 0:
+            return out.append_column(BUCKET_COL, pa.array([], pa.int32())) \
+                      .append_column(WEIGHT_COL, pa.array([], pa.int64()))
+        key = _composite_key(out, key_cols)
+        h = pd.util.hash_array(key.astype(object, copy=False))
+        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+        out = out.append_column(BUCKET_COL, pa.array(bucket))
+
+        # per-(stream, bucket) ledger filter
+        lsn = out["lsn"].to_numpy()
+        seq = out["seq"].to_numpy()
+        led = pd.Series([ledgers.get(s, {}).get(int(b)) for s, b in
+                         zip(s_np, bucket)])
+        led_lsn = led.map(lambda x: -1 if x is None else x[0]).to_numpy()
+        led_seq = led.map(lambda x: -1 if x is None else x[1]).to_numpy()
+        keep2 = (lsn > led_lsn) | ((lsn == led_lsn) & (seq > led_seq))
+        if not keep2.all():
+            out = out.filter(pa.array(keep2))
+            key = key[keep2]
+            s_np = s_np[keep2]
+        if len(out) == 0:
+            return out.append_column(WEIGHT_COL, pa.array([], pa.int64()))
+
+        # pre-reduce per (stream, key)
+        skey = np.char.add(np.char.add(s_np.astype(str), "\x1e"),
+                           key.astype(str))
+        win, weights = _winners_and_weights(
+            skey, out["lsn"].to_numpy(), out["seq"].to_numpy()
+        )
+        out = out.take(pa.array(win))
+        return out.append_column(WEIGHT_COL, pa.array(weights, type=pa.int64()))
+
+    applied = envelopes.map_batches(
+        project_multi, batch_format="pyarrow", batch_size=config.batch_size
+    )
+
+    merges = {
+        s: BucketMerge(
+            key_cols,
+            os.path.join(base_dir, s, "data"),
+            f"v{versions[s]:06d}",
+            prior_paths=prior_paths[s],
+            prior_fingerprints=prior_fps[s],
+            ledger=ledgers[s],
+            fingerprint_col=fingerprint_col,
+        )
+        for s in streams
+    }
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return merges[streams[0]](group).append_column(
+                "stream", pa.array([], pa.string())
+            )
+        stream = group[STREAM_COL][0].as_py()
+        stats = merges[stream](group.drop_columns([STREAM_COL]))
+        return stats.append_column("stream", pa.array([stream]))
+
+    stats_rows = (
+        applied.groupby([STREAM_COL, BUCKET_COL])
+        .map_groups(merge_group, batch_format="pyarrow")
+        .take_all()
+    )
+
+    results: dict[str, ReplayResult] = {}
+    wall = time.monotonic() - t0
+    for s in streams:
+        rows = [r for r in stats_rows if r.get("stream") == s]
+        manifest = build_manifest(
+            version=versions[s],
+            connector_id=connector_id,
+            stats_rows=rows,
+            parent=parents[s],
+            schema_snapshot={"fields": [], "log": [], "defaults": {}},
+            extra_metrics={"wall_seconds": wall, "single_pass": True},
+        )
+        mpath = ckpts[s].save(manifest)
+        results[s] = ReplayResult(
+            versions[s],
+            int(manifest["metrics"]["events_applied"]),
+            int(manifest["metrics"]["events_seen"]),
+            int(manifest["metrics"]["buckets_touched"]),
+            mpath,
+            os.path.join(base_dir, s),
+            wall,
+            metrics=manifest["metrics"],
+        )
     return results
