@@ -119,6 +119,9 @@ class CaptureConfig:
     # segment-range / record bounds on a finite replay
     max_records: int | None = None
     max_lsn: int | None = None  # replay the log only up to this LSN (inclusive)
+    #: soft wall budget for multi-segment replays (ST7 maxDuration analogue;
+    #: checked between segment groups, like the reference's 1 s poll loop)
+    max_duration_seconds: float | None = None
     snapshot_mode: SnapshotMode = SnapshotMode.INITIAL
     offset_commit_mode: OffsetCommitMode = OffsetCommitMode.ON_STOP
     # physical knobs

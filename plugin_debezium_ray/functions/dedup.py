@@ -225,6 +225,114 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def connected_components_distributed(
+    pairs_ds: "ray.data.Dataset",
+    *,
+    max_iters: int = 20,
+) -> "ray.data.Dataset":
+    """Connected components over a candidate-pair Dataset that is too big
+    for the driver: iterative min-label propagation, one groupby-min per
+    round (the standard large-graph CC-on-a-dataflow-engine pattern).
+
+    Input: columns ``a``, ``b`` (edges).  Output: columns ``node``,
+    ``root`` (root = min node id of the component).  Converges in
+    O(diameter) rounds; near-dup graphs are unions of small cliques, so
+    2-3 rounds typically suffice.  Each round's shuffle carries one row
+    per (edge endpoint), never the corpus.
+    """
+    import pyarrow as pa
+
+    def edges_both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "peer": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = pairs_ds.map_batches(edges_both, batch_format="pyarrow")
+
+    def min_peer(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as apc
+
+        node = g["node"][0]
+        lbl = min(apc.min(g["peer"]).as_py(), node.as_py())
+        return pa.table({"node": pa.array([node.as_py()], g["node"].type),
+                         "root": pa.array([lbl], g["peer"].type)})
+
+    # init: root(n) = min(n, neighbors(n))
+    labels = edges.groupby("node").map_groups(min_peer, batch_format="pyarrow")
+    node_type = edges.schema().types[0]
+
+    def as_peer_labels(t: pa.Table) -> pa.Table:
+        # map_groups emits zero-column empty blocks for empty groups;
+        # give them the join-side schema or the hash join chokes
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {"peer_key": pa.array([], node_type),
+                 "peer_root": pa.array([], node_type)}
+            )
+        return t.select(["node", "root"]).rename_columns(
+            ["peer_key", "peer_root"]
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # propagate roots across edges with a distributed hash join; the
+        # only driver-side value per round is one scalar (sum of roots —
+        # strictly decreasing until convergence)
+        peer_labels = labels.map_batches(as_peer_labels, batch_format="pyarrow")
+        peer_roots = edges.join(
+            peer_labels,
+            join_type="inner",
+            num_partitions=16,
+            on=("peer",),
+            right_on=("peer_key",),
+        ).map_batches(
+            lambda t: (
+                t.select(["node", "peer_root"]).rename_columns(["node", "root"])
+                if t.num_columns
+                else pa.table(
+                    {"node": pa.array([], node_type),
+                     "root": pa.array([], node_type)}
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        combined = labels.union(peer_roots)
+
+        def keep_min(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as apc
+
+            return pa.table(
+                {
+                    "node": pa.array([g["node"][0].as_py()], g["node"].type),
+                    "root": pa.array(
+                        [apc.min(g["root"]).as_py()], g["root"].type
+                    ),
+                }
+            )
+
+        # repartition launders the zero-column empty blocks that the
+        # sort-based groupby emits for empty ranges — Ray's hash join
+        # rejects schema-less blocks on the build side
+        labels = (
+            combined.groupby("node")
+            .map_groups(keep_min, batch_format="pyarrow")
+            .repartition(16)
+            .materialize()
+        )
+        s = labels.sum("root")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
 def connected_components(pairs: list[tuple], nodes=None) -> dict:
     """Union-find over the (small) candidate-pair set → {node: root}."""
     parent: dict = {}

@@ -290,7 +290,20 @@ class ReplayJob:
             for other in segment_groups[1:]:
                 ds = ds.union(other)
             return [self.run(ds, **kw)]
-        return [self.run(g, **kw) for g in segment_groups]
+        # ON_EACH_BATCH honors the soft wall budget between commits —
+        # the maxDuration stop condition (AbstractDebeziumTask.java:611-634);
+        # a later run resumes from the committed ledger.
+        t0 = time.monotonic()
+        out = []
+        for g in segment_groups:
+            if (
+                self.cfg.max_duration_seconds is not None
+                and out
+                and time.monotonic() - t0 >= self.cfg.max_duration_seconds
+            ):
+                break
+            out.append(self.run(g, **kw))
+        return out
 
     # ------------------------------------------------------------ poll
 

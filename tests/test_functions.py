@@ -114,6 +114,23 @@ class TestDedup:
         assert roots[1] == roots[2] == roots[3] == 1
         assert roots[7] == roots[8] == 7
 
+    def test_connected_components_distributed_matches_union_find(self):
+        """The dataflow CC (join + groupby-min label propagation) must
+        agree with driver-side union-find, including a long chain (worst
+        case for propagation rounds)."""
+        cases = [
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            [(i, i + 1) for i in range(10)],  # diameter-10 chain
+        ]
+        for pairs in cases:
+            want = dedup.connected_components(pairs)
+            ds = ray.data.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+            got = {
+                r["node"]: r["root"]
+                for r in dedup.connected_components_distributed(ds).take_all()
+            }
+            assert got == want
+
     def test_simhash_pairs(self):
         pairs = dedup.simhash_pairs(docs_ds(), max_hamming=6)
         assert (0, 1) in pairs

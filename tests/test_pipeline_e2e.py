@@ -121,6 +121,36 @@ class TestReplayParity:
                                        include_snapshot=False))
 
 
+class TestStopConditions:
+    def test_max_duration_soft_bound(self, tmp_path):
+        """ST7 maxDuration: the wall budget stops the ON_EACH_BATCH loop
+        between commits (always ≥1 group, like the reference's soft
+        1-second-granularity bound); a later run resumes from the
+        ledger."""
+        from plugin_debezium_ray.config import OffsetCommitMode
+
+        groups = [binlog(300, 60, seed=SEED, base_lsn=1 + i * 1000)
+                  for i in range(3)]
+        job = ReplayJob(
+            CaptureConfig(
+                num_buckets=4,
+                offset_commit_mode=OffsetCommitMode.ON_EACH_BATCH,
+                max_duration_seconds=0.0,
+            ),
+            str(tmp_path),
+        )
+        results = job.run_segments(groups)
+        assert len(results) == 1  # budget exhausted after the first commit
+        # resume without the budget: remaining segments apply
+        job2 = ReplayJob(
+            CaptureConfig(num_buckets=4,
+                          offset_commit_mode=OffsetCommitMode.ON_EACH_BATCH),
+            str(tmp_path),
+        )
+        rest = job2.run_segments(groups)
+        assert sum(r.events_seen for r in rest) == 600
+
+
 class TestSnapshotModes:
     def test_never_tail_only(self, tmp_path, env):
         job = ReplayJob(
