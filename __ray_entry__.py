@@ -336,6 +336,20 @@ def q_window_sessions(sf_dir: str):
     return out
 
 
+_ANN_ORACLE_SQL = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    s AS (
+        SELECT q.qid AS query_id, e.vec_id,
+               rank() OVER (PARTITION BY q.qid
+                            ORDER BY list_cosine_similarity(e.embedding, q.qv)
+                                     DESC, e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, rank FROM s WHERE rank <= 10
+"""
+
+
 def entry() -> Any:
     """Flagship: full CDC LWW apply over the sf0.001 event stream."""
     return q_cdc_lww_apply("/root/testdata/sf0.001")
@@ -451,6 +465,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_s) AS n_sessions FROM d GROUP BY user_id
         """,
-        # text_langid, dedup_minhash/simhash/embedding, ann_*: heuristic /
+        # ann_*: cosine top-k HAS an exact SQL form (verified stable:
+        # testdata similarities are well-separated, so float32 summation
+        # order cannot flip ranks; ivf runs with nprobe=n_clusters=exact)
+        "ann_brute_force": _ANN_ORACLE_SQL,
+        "ann_ivf": _ANN_ORACLE_SQL,
+        # text_langid, dedup_minhash/simhash/embedding: heuristic /
         # non-SQL-expressible — driver records rows-only checks.
     }
