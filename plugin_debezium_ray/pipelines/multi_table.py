@@ -290,12 +290,18 @@ def replay_multi_table_single_pass(
     wall = time.monotonic() - t0
     for s in streams:
         rows = [r for r in stats_rows if r.get("stream") == s]
+        # single-pass does not replay DDL (global-schema constraint, see
+        # docstring) — carry the stream's prior registry snapshot forward
+        # so evolution applied by earlier per-stream runs is never lost
+        prior_schema = (parents[s] or {}).get("schema") or {
+            "fields": [], "log": [], "defaults": {}
+        }
         manifest = build_manifest(
             version=versions[s],
             connector_id=connector_id,
             stats_rows=rows,
             parent=parents[s],
-            schema_snapshot={"fields": [], "log": [], "defaults": {}},
+            schema_snapshot=prior_schema,
             extra_metrics={"wall_seconds": wall, "single_pass": True},
         )
         mpath = ckpts[s].save(manifest)
