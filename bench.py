@@ -215,23 +215,26 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
         )
-        best = None
-        for _ in range(3):  # noisy shared box (CPU steal): best-of-3
-            out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"),
-                 "--replay-only", "--scaling-wal"],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=REPO,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["sec"] < best["sec"]:
-                best = r
-        return best
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--replay-only", "--scaling-wal"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
+    # interleave the levels (8,32,8,32,8,32) so bursts of co-tenant CPU
+    # steal on this shared host hit both sides; take best-of-3 per level
+    lo = hi = None
+    for _ in range(3):
+        r8, r32 = one(8), one(32)
+        if lo is None or r8["sec"] < lo["sec"]:
+            lo = r8
+        if hi is None or r32["sec"] < hi["sec"]:
+            hi = r32
     eff = (lo["sec"] / hi["sec"]) / (32 / 8)
     return {
         "metric": "replay scaling efficiency (num_cpus 8 vs 32, N→4N stand-in)",

@@ -210,8 +210,13 @@ class ReplayJob:
             return merge(group)
 
         t_apply0 = time.monotonic()
+        merge_kw = {}
+        if cfg.apply_concurrency is not None:
+            # cap the merge stage's task slots so it never starves the
+            # read/decode stages (the pool-sizing rule of the Ray guide)
+            merge_kw["concurrency"] = cfg.apply_concurrency
         stats = applied.groupby(BUCKET_COL).map_groups(
-            merge_bucket, batch_format="pyarrow"
+            merge_bucket, batch_format="pyarrow", **merge_kw
         )
         stats_rows = stats.take_all()  # ≤ num_buckets tiny rows
 
