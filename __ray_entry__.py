@@ -190,7 +190,7 @@ def q_text_langid(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "lang_pred"])
 
 

@@ -85,7 +85,7 @@ def brute_force_topk(
         BatchTopK,
         fn_constructor_args=(ref, k, id_col, vec_col),
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),  # autoscaling pool: never blocks on small CPU budgets
     )
     rows = cand.take_all()  # ≤ k × n_queries × n_blocks, still small
     by_q: dict[int, list] = {}
