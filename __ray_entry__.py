@@ -277,7 +277,9 @@ def q_cdc_multi_table(sf_dir: str):
     (event_type as the table), final row count per table."""
     import pandas as pd
 
-    from plugin_debezium_ray.pipelines.multi_table import replay_multi_table
+    from plugin_debezium_ray.pipelines.multi_table import (
+        replay_multi_table_single_pass,
+    )
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
@@ -292,7 +294,10 @@ def q_cdc_multi_table(sf_dir: str):
         table_col="event_type",
     )
     with tempfile.TemporaryDirectory(prefix="mt_", dir="/tmp") as d:
-        results = replay_multi_table(
+        # single-pass shared-shuffle variant is the default (the scale
+        # layout); the per-stream loop remains the correctness cross-check
+        # in tests/test_multi_table.py
+        results = replay_multi_table_single_pass(
             env, d, CaptureConfig(key_cols=("user_id",), num_buckets=8)
         )
         rows = [
@@ -463,7 +468,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             )
-            SELECT user_id, sum(new_s) AS n_sessions FROM d GROUP BY user_id
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+            FROM d GROUP BY user_id
         """,
         # ann_*: cosine top-k HAS an exact SQL form (verified stable:
         # testdata similarities are well-separated, so float32 summation
