@@ -21,7 +21,6 @@ gated by the manifest commit (idempotent task retry).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import time
 
@@ -335,21 +334,33 @@ class BucketMerge:
             {k: pa.array([stats[k]], type=typ) for k, typ in APPLY_STATS_FIELDS}
         )
 
+    # four fixed 16-byte SipHash keys → four independent 64-bit lanes per
+    # row = one 256-bit per-row digest, fully vectorized
+    _FP_LANE_KEYS = ("fp-lane-0-------", "fp-lane-1-------",
+                     "fp-lane-2-------", "fp-lane-3-------")
+
     def _xor_rows(self, t: pa.Table, keys: np.ndarray) -> int:
-        """Order-independent row-set digest: XOR of
-        sha256(key || content-ish column) — the distributed sha256-parity
-        primitive (never collects rows to the driver), and a commutative
-        group under XOR so removals/additions update it incrementally."""
+        """Order-independent row-set digest: XOR of a vectorized 256-bit
+        keyed hash of (key || content-ish column) per row — the
+        distributed parity primitive (never collects rows to the driver),
+        and a commutative group under XOR so removals/additions update it
+        incrementally.  Vectorized: one ``pd.util.hash_array`` (keyed
+        SipHash, deterministic across processes) per 64-bit lane instead
+        of a per-row Python ``hashlib`` loop."""
+        n = len(t)
+        if n == 0:
+            return 0
         col = self.fingerprint_col if self.fingerprint_col in t.column_names else None
-        vals = (
-            t[col].to_numpy(zero_copy_only=False)
-            if col
-            else np.full(len(t), "", dtype=object)
-        )
+        key_arr = pa.array(keys.astype(str))
+        if col:
+            vals = pc.fill_null(pc.cast(t[col].combine_chunks(), pa.string()), "")
+            joined = pc.binary_join_element_wise(key_arr, vals, "\x00")
+        else:
+            joined = pc.binary_join_element_wise(key_arr, pa.scalar(""),
+                                                 pa.scalar("\x00"))
+        obj = joined.to_numpy(zero_copy_only=False)
         acc = 0
-        for k, v in zip(keys, vals):
-            h = hashlib.sha256(
-                (str(k) + "\x00" + ("" if v is None else str(v))).encode()
-            ).digest()
-            acc ^= int.from_bytes(h, "big")
+        for lane, hk in enumerate(self._FP_LANE_KEYS):
+            lane_acc = np.bitwise_xor.reduce(pd.util.hash_array(obj, hash_key=hk))
+            acc ^= int(lane_acc) << (64 * lane)
         return acc
