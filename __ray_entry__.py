@@ -103,6 +103,73 @@ def q_cdc_metadata(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def q_cdc_nested_decode(sf_dir: str):
+    """M1 recursive decode (`MapConverter.java:181-244`): envelopes whose
+    after-image is a NESTED payload — struct{kind, micro_timestamp} +
+    list<string> — decoded by the schema-driven column recursion
+    (`stages/nested.py`), then flattened to scalar columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.stages.nested import (
+        ConnectSchema as S,
+        decode_column,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def to_nested_env(t: pa.Table) -> pa.Table:
+        n = len(t)
+        et = t["event_type"].combine_chunks()
+        attrs = pa.StructArray.from_arrays(
+            [et, pc.cast(t["event_id"].combine_chunks(), pa.int64())],
+            ["kind", "ts_us"],
+        )
+        tag_vals = pa.array(
+            np.column_stack(
+                [et.to_numpy(zero_copy_only=False), np.full(n, "evt", object)]
+            ).reshape(-1)
+        )
+        tags = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 2 * n + 1, 2), pa.int32()), tag_vals
+        )
+        after = pa.StructArray.from_arrays([attrs, tags], ["attrs", "tags"])
+        return pa.table(
+            {"user_id": t["user_id"].combine_chunks(), "after": after}
+        )
+
+    payload_schema = S.struct(
+        [
+            ("attrs", S.struct(
+                [("kind", S.primitive("string")),
+                 ("ts_us", S.logical("micro_timestamp", "int64"))]
+            )),
+            ("tags", S.array(S.primitive("string"))),
+        ]
+    )
+
+    def decode_flat(t: pa.Table) -> pa.Table:
+        dec = decode_column(t["after"], payload_schema)
+        attrs, tags = dec.field("attrs"), dec.field("tags")
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "kind": attrs.field("kind"),
+                "event_ts": attrs.field("ts_us"),
+                "tag0": pc.list_element(tags, 0),
+                "n_tags": pc.cast(pc.list_value_length(tags), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(to_nested_env, batch_format="pyarrow").map_batches(
+        decode_flat, batch_format="pyarrow"
+    )
+
+
 def q_cdc_stream_counts(sf_dir: str):
     """M9+ST6: SplitTable stream routing + per-stream record counts."""
     cfg = CaptureConfig(key_cols=("user_id",), split_table=SplitTable.TABLE)
@@ -363,6 +430,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_inline_decode": q_cdc_inline_decode,
+        "cdc_nested_decode": q_cdc_nested_decode,
         "cdc_metadata": q_cdc_metadata,
         "cdc_stream_counts": q_cdc_stream_counts,
         "cdc_bounded_replay": q_cdc_bounded_replay,
@@ -390,6 +458,13 @@ def oracle_sql() -> dict[str, str]:
         "cdc_inline_decode": """
             SELECT user_id, event_type, value,
                    (event_type = 'error') AS deleted
+            FROM events
+        """,
+        "cdc_nested_decode": """
+            SELECT user_id, event_type AS kind,
+                   make_timestamp(event_id) AS event_ts,
+                   event_type AS tag0,
+                   CAST(2 AS BIGINT) AS n_tags
             FROM events
         """,
         "cdc_metadata": f"""

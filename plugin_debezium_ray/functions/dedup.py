@@ -6,43 +6,67 @@ All pipelines follow the scale pattern from the public dedup literature
 
   map_batches (vectorized signature computation, stateless)
     → explode to (bucket-key, doc) rows
-    → ONE groupby on the bucket key (the only shuffle)
-    → within-group verification / representative selection
-    → small candidate-pair set → connected components
+    → ONE groupby on a COARSE partition of the bucket-key space
+      (millions of tiny buckets would mean millions of map_groups
+      calls; a coarse partition keeps group count = num_partitions)
+    → vectorized within-partition candidate pairing (capped per bucket)
+    → distributed verification (pairs ⋈ payload, twice) → edge Dataset
+    → distributed connected components (groupby-min label propagation)
+    → drop duplicates via a left_anti join
 
-Connected components run driver-side ONLY over the candidate-pair set
-(provably small: candidates, not corpus).  Nothing materializes the
-corpus on the driver.
+End-to-end distributed: no stage materializes the corpus, the pair set,
+or the component labels on the driver — candidate pairs, verified
+edges and labels all stay Datasets.  The only driver-side values are
+O(1) scalars (convergence checks, empty-set guards).
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
+from ray.data.aggregate import Count, Min
+
+
+def _join_parts(requested: int) -> int:
+    """Hash-join partition count bounded by the session's CPU budget:
+    each join partition is a long-lived aggregator actor (1 CPU), so
+    requesting more partitions than free CPUs deadlocks a small local
+    session.  On a real cluster ``requested`` wins."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # noqa: BLE001 — uninitialised session
+        cpus = 4
+    return max(2, min(requested, cpus - 2))
 
 # ----------------------------------------------------------- exact dedup
 
 
 def add_content_hash(t: pa.Table, *, text_col: str = "text",
                      normalize: bool = False) -> pa.Table:
-    """sha1 content hash column (optionally lowercase + whitespace-collapsed
-    — the normalized variant matches DuckDB
-    ``md5(lower(regexp_replace(text,'\\s+',' ','g')))`` modulo hash fn)."""
-    vals = t[text_col].to_pylist()
+    """Two-lane 128-bit content hash columns (``_h0``, ``_h1``) — fully
+    vectorized (Arrow normalization kernels + keyed SipHash per lane; a
+    single 64-bit lane would risk birthday collisions at 10^10 docs).
+    The normalized variant lowercases and collapses whitespace, matching
+    DuckDB ``trim(regexp_replace(lower(text),'\\s+',' ','g'))`` grouping."""
+    col = t[text_col]
     if normalize:
-        ws = re.compile(r"\s+")
-        vals = [None if v is None else ws.sub(" ", v.lower()).strip() for v in vals]
-    out = [
-        None if v is None else hashlib.sha1(v.encode("utf-8")).hexdigest()
-        for v in vals
-    ]
-    return t.append_column("content_hash", pa.array(out, type=pa.string()))
+        col = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(col), r"\s+", " ")
+        )
+    obj = (
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ).to_numpy(zero_copy_only=False)
+    h0 = pd.util.hash_array(obj, hash_key="content-hash-l0-")
+    h1 = pd.util.hash_array(obj, hash_key="content-hash-l1-")
+    out = t.append_column("_h0", pa.array(h0))
+    return out.append_column("_h1", pa.array(h1))
 
 
 def exact_dedup(
@@ -51,22 +75,31 @@ def exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     normalize: bool = False,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Keep the min-id representative per distinct content.
 
-    hash in map_batches → groupby(content_hash) → first — the canonical
-    hash-partition + per-group-first exact dedup.  Returns the surviving
-    rows (original columns)."""
-    hashed = ds.map_batches(
-        lambda t: add_content_hash(t, text_col=text_col, normalize=normalize),
-        batch_format="pyarrow",
-    )
+    hash in map_batches → ONE groupby on a coarse partition of the hash
+    space → vectorized pandas idxmin per content hash within each
+    partition.  One shuffle, no per-document groups (group count =
+    ``num_partitions``, each holding |corpus|/P rows — the scale-safe
+    replacement for the one-pandas-frame-per-distinct-hash idiom).
+    Returns the surviving rows (original columns)."""
+
+    def hashed(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, text_col=text_col, normalize=normalize)
+        part = (t["_h0"].to_numpy() % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+        win = g.groupby(["_h0", "_h1"], sort=False)[id_col].idxmin()
+        return g.loc[win.to_numpy()].drop(columns=["_h0", "_h1", "_part"])
 
-    kept = hashed.groupby("content_hash").map_groups(keep_min, batch_format="pandas")
-    return kept.drop_columns(["content_hash"])
+    return (
+        ds.map_batches(hashed, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(keep_min, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------------------- minhash
@@ -75,28 +108,44 @@ def exact_dedup(
 _WORD_RE = re.compile(r"\S+")
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """uint64 hashes of word k-shingles (k consecutive tokens).
+def _batch_shingles(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' k-shingle hashes in ONE ``pd.util.hash_array`` call.
 
-    Vectorized: build the shingle strings once, hash the whole array with
-    pandas' fixed-key SipHash (deterministic across processes) instead of
-    per-shingle hashlib calls."""
-    toks = _WORD_RE.findall(text.lower())
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    shingles = np.array(
-        [" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))],
-        dtype=object,
-    )
-    return pd.util.hash_array(shingles)
+    Returns (hashes, offsets): doc i's shingle hashes are
+    ``hashes[offsets[i]:offsets[i+1]]`` (every doc emits ≥1 shingle)."""
+    all_shingles: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for d, text in enumerate(texts):
+        toks = _WORD_RE.findall(text.lower())
+        if len(toks) < k:
+            toks = toks + [""] * (k - len(toks))
+        n = max(1, len(toks) - k + 1)
+        all_shingles.extend(" ".join(toks[i : i + k]) for i in range(n))
+        offsets[d + 1] = len(all_shingles)
+    hashes = pd.util.hash_array(np.array(all_shingles, dtype=object))
+    return hashes, offsets
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """uint64 hashes of one doc's word k-shingles (the single-doc view of
+    ``_batch_shingles`` — identical values)."""
+    h, _ = _batch_shingles([text], k)
+    return h
 
 
 class MinHasher:
-    """Per-batch MinHash signatures: ``num_perm`` hash functions
+    """Batched MinHash signatures: ``num_perm`` hash functions
     h_i(x) = splitmix64(x XOR seed_i) (Broder '97 minwise estimation with
     independent mixing functions instead of modular affine permutations —
     fully vectorized uint64, no Python-object bignum math).  Seeds are
-    built ONCE per actor in ``__init__`` (actor pool)."""
+    built ONCE per actor in ``__init__`` (actor pool); the per-batch work
+    is one shingle-hash pass + one (num_perm × n_shingles) min-reduce
+    per chunk of docs."""
+
+    # bound the (num_perm × n_shingles) mixing matrix per chunk (~100 MB
+    # at 128 perms) so giant batches of long docs can't blow the heap
+    MAX_CHUNK_SHINGLES = 100_000
 
     def __init__(self, num_perm: int = 128, k: int = 3, text_col: str = "text",
                  seed: int = 1):
@@ -107,26 +156,45 @@ class MinHasher:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix, vectorized across docs:
+        one hash_array call for all shingles, one outer mix per chunk,
+        ``np.minimum.reduceat`` over doc boundaries."""
         from plugin_debezium_ray.sources.rand import splitmix64
 
-        x = _shingle_hashes(text, self.k)
-        # (num_perm, n_shingles) mixed values — min over shingles
-        vals = splitmix64(np.bitwise_xor.outer(self.seeds, x))
-        return vals.min(axis=1)
+        hashes, offsets = _batch_shingles(texts, self.k)
+        out = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        d0 = 0
+        while d0 < len(texts):
+            d1 = d0
+            while (
+                d1 < len(texts)
+                and offsets[d1 + 1] - offsets[d0] <= self.MAX_CHUNK_SHINGLES
+            ):
+                d1 += 1
+            d1 = max(d1, d0 + 1)  # a single over-long doc still processes
+            chunk = hashes[offsets[d0] : offsets[d1]]
+            vals = splitmix64(np.bitwise_xor.outer(self.seeds, chunk))
+            cuts = (offsets[d0 : d1] - offsets[d0]).astype(np.int64)
+            out[d0:d1] = np.minimum.reduceat(vals, cuts, axis=1).T
+            d0 = d1
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        sigs = [
-            None if v is None else self.signature(v)
-            for v in t[self.text_col].to_pylist()
-        ]
-        arr = pa.array(
-            [None if s is None else s.tolist() for s in sigs],
-            type=pa.list_(pa.uint64()),
-        )
+        texts = t[self.text_col].to_pylist()
+        valid = [i for i, v in enumerate(texts) if v is not None]
+        sigs: list = [None] * len(texts)
+        if valid:
+            mat = self.signatures([texts[i] for i in valid])
+            for j, i in enumerate(valid):
+                sigs[i] = mat[j].tolist()
+        arr = pa.array(sigs, type=pa.list_(pa.uint64()))
         return t.append_column("minhash", arr)
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_pairs_ds(
     ds: "ray.data.Dataset",
     *,
     id_col: str = "doc_id",
@@ -137,18 +205,18 @@ def minhash_lsh_pairs(
     seed: int = 1,
     num_partitions: int = 64,
     max_all_pairs_bucket: int = 64,
-) -> list[tuple]:
-    """Candidate near-dup pairs via LSH banding: signature → ``bands``
-    bands of r=num_perm/bands rows → ONE groupby on a coarse partition of
-    the band-hash space → **vectorized** within-partition pairing.
+    distinct: bool = True,
+) -> "ray.data.Dataset":
+    """Candidate near-dup pairs via LSH banding, as a Dataset (a, b).
 
-    Millions of (band, band_hash) buckets would mean millions of
-    ``map_groups`` calls; instead buckets are routed to
-    ``num_partitions`` coarse groups and paired with a pandas self-merge
-    (all-pairs for buckets ≤ ``max_all_pairs_bucket``; star-to-min-doc
-    beyond, which preserves connected-component clustering while keeping
-    giant near-identical clusters linear, not quadratic).
-    """
+    signature → ``bands`` bands of r=num_perm/bands rows → ONE groupby on
+    a coarse partition of the band-hash space → **vectorized**
+    within-partition pairing (all-pairs for buckets ≤
+    ``max_all_pairs_bucket``; star-to-min-doc beyond, which preserves
+    connected-component clustering while keeping giant near-identical
+    clusters linear, not quadratic) → distinct (a, b).
+
+    Nothing reaches the driver: the pair set stays distributed."""
     from plugin_debezium_ray.sources.rand import splitmix64
 
     r = num_perm // bands
@@ -165,7 +233,7 @@ def minhash_lsh_pairs(
                  "band_hash": pa.array([], pa.uint64()),
                  "part": pa.array([], pa.int32())}
             )
-        sigs = np.stack([hasher.signature(texts[i]) for i in valid])
+        sigs = hasher.signatures([texts[i] for i in valid])
         sigs = sigs.reshape(len(valid), bands, r)
         # vectorized band hash: xor-fold + mix over the r minhashes
         bh = np.zeros((len(valid), bands), dtype=np.uint64)
@@ -212,8 +280,35 @@ def minhash_lsh_pairs(
     pair_ds = exploded.groupby("part").map_groups(
         partition_pairs, batch_format="pandas"
     )
-    pairs = {(row["a"], row["b"]) for row in pair_ds.take_all()}
-    return sorted(pairs)
+    if not distinct:
+        # caller dedups (e.g. a driver-side set over a bounded pair
+        # list) — skip the extra distinct shuffle
+        return pair_ds
+    return distinct_pairs(pair_ds, num_partitions=num_partitions)
+
+
+def distinct_pairs(
+    pair_ds: "ray.data.Dataset", *, num_partitions: int = 16
+) -> "ray.data.Dataset":
+    """Distributed distinct on (a, b) via a tiny count aggregate (pairs
+    emitted by several bands/buckets collapse to one edge)."""
+    return (
+        pair_ds.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        # launder schema-less empty blocks out of the sort-based groupby
+        # (they poison a downstream hash join — Ray 2.49 behavior)
+        .repartition(num_partitions)
+    )
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", **kw) -> list[tuple]:
+    """Small-scale convenience: the candidate pairs as a sorted list
+    (tests / notebooks — NOT the 100-TB path; use ``minhash_lsh_pairs_ds``
+    and keep the pair set distributed)."""
+    return sorted(
+        (r["a"], r["b"]) for r in minhash_lsh_pairs_ds(ds, **kw).take_all()
+    )
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -225,22 +320,79 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def verify_jaccard_pairs(
+    pair_ds: "ray.data.Dataset",
+    docs_ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Exact-Jaccard verification of candidate pairs, fully distributed:
+    two hash joins attach the texts (pairs ⋈ docs on a, then on b — each
+    text ships once per candidate edge, never the corpus), then a
+    vectorized per-batch verify (one shingle-hash pass over the batch's
+    distinct texts).  Returns the surviving edges (a, b)."""
+    parts = _join_parts(num_partitions)
+
+    def side(name: str) -> "ray.data.Dataset":
+        return docs_ds.map_batches(
+            lambda t, name=name: pa.table(
+                {name: t[id_col].combine_chunks(),
+                 f"_text_{name}": t[text_col].combine_chunks()}
+            ),
+            batch_format="pyarrow",
+        ).repartition(parts)
+
+    joined = pair_ds.join(
+        side("a"), "inner", parts, on=("a",)
+    ).join(side("b"), "inner", parts, on=("b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"a": t["a"], "b": t["b"]}) if t.num_columns else t
+        ta = t["_text_a"].to_pylist()
+        tb = t["_text_b"].to_pylist()
+        uniq = list({x for x in ta + tb if x is not None})
+        hashes, offsets = _batch_shingles(uniq, k)
+        sets = {
+            uniq[i]: set(hashes[offsets[i] : offsets[i + 1]].tolist())
+            for i in range(len(uniq))
+        }
+        keep = np.zeros(len(t), dtype=bool)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            if x is None or y is None:
+                continue
+            sa, sb = sets[x], sets[y]
+            union = len(sa | sb)
+            j = 1.0 if union == 0 else len(sa & sb) / union
+            keep[i] = j >= threshold
+        return t.select(["a", "b"]).filter(pa.array(keep))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def connected_components_distributed(
     pairs_ds: "ray.data.Dataset",
     *,
     max_iters: int = 20,
+    num_partitions: int = 16,
 ) -> "ray.data.Dataset":
     """Connected components over a candidate-pair Dataset that is too big
-    for the driver: iterative min-label propagation, one groupby-min per
-    round (the standard large-graph CC-on-a-dataflow-engine pattern).
+    for the driver: iterative min-label propagation, one built-in
+    ``groupby().aggregate(Min)`` per round (the standard
+    CC-on-a-dataflow-engine pattern — no per-node pandas groups).
 
     Input: columns ``a``, ``b`` (edges).  Output: columns ``node``,
     ``root`` (root = min node id of the component).  Converges in
     O(diameter) rounds; near-dup graphs are unions of small cliques, so
     2-3 rounds typically suffice.  Each round's shuffle carries one row
-    per (edge endpoint), never the corpus.
-    """
-    import pyarrow as pa
+    per (edge endpoint), never the corpus; the only driver value per
+    round is one scalar (sum of labels, strictly decreasing until
+    convergence)."""
+    num_partitions = _join_parts(num_partitions)
 
     def edges_both(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -255,75 +407,51 @@ def connected_components_distributed(
         )
 
     edges = pairs_ds.map_batches(edges_both, batch_format="pyarrow")
+    edges = edges.repartition(num_partitions).materialize()
 
-    def min_peer(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as apc
-
-        node = g["node"][0]
-        lbl = min(apc.min(g["peer"]).as_py(), node.as_py())
-        return pa.table({"node": pa.array([node.as_py()], g["node"].type),
-                         "root": pa.array([lbl], g["peer"].type)})
-
-    # init: root(n) = min(n, neighbors(n))
-    labels = edges.groupby("node").map_groups(min_peer, batch_format="pyarrow")
-    node_type = edges.schema().types[0]
-
-    def as_peer_labels(t: pa.Table) -> pa.Table:
-        # map_groups emits zero-column empty blocks for empty groups;
-        # give them the join-side schema or the hash join chokes
-        if t.num_columns == 0 or len(t) == 0:
-            return pa.table(
-                {"peer_key": pa.array([], node_type),
-                 "peer_root": pa.array([], node_type)}
-            )
-        return t.select(["node", "root"]).rename_columns(
-            ["peer_key", "peer_root"]
+    def clamp_self(t: pa.Table) -> pa.Table:
+        # root(n) = min(root, n): the label can never exceed the node
+        return pa.table(
+            {
+                "node": t["node"].combine_chunks(),
+                "root": pc.min_element_wise(
+                    t["root"].combine_chunks(), t["node"].combine_chunks()
+                ),
+            }
         )
+
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("peer", alias_name="root"))
+        .map_batches(clamp_self, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
 
     prev_sum = None
     for _ in range(max_iters):
-        # propagate roots across edges with a distributed hash join; the
-        # only driver-side value per round is one scalar (sum of roots —
-        # strictly decreasing until convergence)
-        peer_labels = labels.map_batches(as_peer_labels, batch_format="pyarrow")
+        peer_labels = labels.map_batches(
+            lambda t: t.rename_columns(["peer_key", "peer_root"]),
+            batch_format="pyarrow",
+        ).repartition(num_partitions)
         peer_roots = edges.join(
             peer_labels,
             join_type="inner",
-            num_partitions=16,
+            num_partitions=num_partitions,
             on=("peer",),
             right_on=("peer_key",),
         ).map_batches(
-            lambda t: (
-                t.select(["node", "peer_root"]).rename_columns(["node", "root"])
-                if t.num_columns
-                else pa.table(
-                    {"node": pa.array([], node_type),
-                     "root": pa.array([], node_type)}
-                )
+            lambda t: pa.table(
+                {"node": t["node"].combine_chunks(),
+                 "root": t["peer_root"].combine_chunks()}
             ),
             batch_format="pyarrow",
         )
-        combined = labels.union(peer_roots)
-
-        def keep_min(g: pa.Table) -> pa.Table:
-            import pyarrow.compute as apc
-
-            return pa.table(
-                {
-                    "node": pa.array([g["node"][0].as_py()], g["node"].type),
-                    "root": pa.array(
-                        [apc.min(g["root"]).as_py()], g["root"].type
-                    ),
-                }
-            )
-
-        # repartition launders the zero-column empty blocks that the
-        # sort-based groupby emits for empty ranges — Ray's hash join
-        # rejects schema-less blocks on the build side
         labels = (
-            combined.groupby("node")
-            .map_groups(keep_min, batch_format="pyarrow")
-            .repartition(16)
+            labels.union(peer_roots)
+            .groupby("node")
+            .aggregate(Min("root", alias_name="root"))
+            .repartition(num_partitions)
             .materialize()
         )
         s = labels.sum("root")
@@ -334,7 +462,9 @@ def connected_components_distributed(
 
 
 def connected_components(pairs: list[tuple], nodes=None) -> dict:
-    """Union-find over the (small) candidate-pair set → {node: root}."""
+    """Union-find over a SMALL in-memory pair list → {node: root}
+    (tests / oracle cross-check; the distributed path is
+    ``connected_components_distributed``)."""
     parent: dict = {}
 
     def find(x):
@@ -352,6 +482,29 @@ def connected_components(pairs: list[tuple], nodes=None) -> dict:
     return {n: find(n) for n in parent}
 
 
+def drop_duplicate_ids(
+    ds: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Remove non-representative rows (node != root) via a distributed
+    LEFT ANTI join — the dupe set never reaches the driver."""
+    parts = _join_parts(num_partitions)
+    dupes = labels.filter(expr="node != root").map_batches(
+        lambda t: pa.table({"_dupe_id": t["node"].combine_chunks()}),
+        batch_format="pyarrow",
+    ).repartition(parts)
+    return ds.join(
+        dupes,
+        join_type="left_anti",
+        num_partitions=parts,
+        on=(id_col,),
+        right_on=("_dupe_id",),
+    )
+
+
 def minhash_dedup(
     ds: "ray.data.Dataset",
     *,
@@ -361,40 +514,72 @@ def minhash_dedup(
     num_perm: int = 128,
     bands: int = 32,
     k: int = 3,
+    num_partitions: int = 16,
+    small_path_max_pairs: int = 20_000,
 ) -> "ray.data.Dataset":
-    """Full MinHash-LSH near-dedup: candidates → Jaccard-verify →
-    components → drop non-representatives (min id survives).
+    """Full MinHash-LSH near-dedup: LSH candidate pairs (Dataset) →
+    exact-Jaccard verify → connected components → drop
+    non-representatives (min id survives).
 
-    Verification needs the candidate docs' texts: fetched via a filtered
-    read of ONLY candidate ids (broadcast id set), never the corpus."""
-    pairs = minhash_lsh_pairs(
+    Two tails, switched on the MEASURED candidate-pair count (one driver
+    scalar), never on guesswork:
+
+    - pair count ≤ ``small_path_max_pairs``: the pair set is provably
+      small → verify/union-find on the driver over ONLY the candidate
+      rows (a bounded broadcast — the classic small-side shortcut).
+    - above the bound (the 100-TB case): fully distributed — two hash
+      joins attach texts to pairs, groupby-min label propagation for
+      components, LEFT ANTI join drops dupes.  Nothing corpus- or
+      pair-set-sized ever reaches the driver (``small_path_max_pairs=0``
+      forces this path; the no-materialization pytest runs it with
+      ``take_all`` poisoned)."""
+    pairs = minhash_lsh_pairs_ds(
         ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
-        bands=bands, k=k,
-    )
-    cand_ids = {x for p in pairs for x in p}
-    if cand_ids:
+        bands=bands, k=k, distinct=False,
+    ).materialize()
+    n_pairs = pairs.count()  # O(1) driver scalar (upper bound: pre-distinct)
+    if n_pairs == 0:
+        return ds
+
+    if n_pairs <= small_path_max_pairs:
+        plist = sorted({(r["a"], r["b"]) for r in pairs.take_all()})  # ≤ bound
+        cand_ids = {x for p in plist for x in p}
+        id_arr = pa.array(list(cand_ids))
         texts_ds = ds.map_batches(
-            lambda t: t.filter(
-                pa.compute.is_in(t[id_col], value_set=pa.array(list(cand_ids)))
-            ).select([id_col, text_col]),
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr))
+            .select([id_col, text_col]),
             batch_format="pyarrow",
         )
-        texts = {r[id_col]: r[text_col] for r in texts_ds.take_all()}
+        texts = {r[id_col]: r[text_col] for r in texts_ds.take_all()}  # ≤ 2·bound
         verified = [
-            (a, b) for a, b in pairs if jaccard(texts[a], texts[b], k) >= threshold
+            (a, b) for a, b in plist
+            if jaccard(texts[a], texts[b], k) >= threshold
         ]
-    else:
-        verified = []
-    roots = connected_components(verified)
-    dupes = {n for n, r in roots.items() if r != n}
-    if not dupes:
+        dupes = {
+            n for n, r in connected_components(verified).items() if r != n
+        }
+        if not dupes:
+            return ds
+        dupes_arr = pa.array(list(dupes))
+        return ds.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t[id_col], value_set=dupes_arr))
+            ),
+            batch_format="pyarrow",
+        )
+
+    verified = verify_jaccard_pairs(
+        distinct_pairs(pairs, num_partitions=num_partitions), ds,
+        id_col=id_col, text_col=text_col, k=k,
+        threshold=threshold, num_partitions=num_partitions,
+    ).materialize()
+    if verified.count() == 0:
         return ds
-    dupes_arr = pa.array(list(dupes))
-    return ds.map_batches(
-        lambda t: t.filter(
-            pa.compute.invert(pa.compute.is_in(t[id_col], value_set=dupes_arr))
-        ),
-        batch_format="pyarrow",
+    labels = connected_components_distributed(
+        verified, num_partitions=num_partitions
+    )
+    return drop_duplicate_ids(
+        ds, labels, id_col=id_col, num_partitions=num_partitions
     )
 
 
@@ -404,79 +589,154 @@ def minhash_dedup(
 class SimHasher:
     """64-bit SimHash (Charikar '02): sign of the feature-hash bit sums.
     Near-dups = small Hamming distance; bucketed by 4×16-bit chunks so
-    any pair within distance 3 shares ≥1 chunk (pigeonhole)."""
+    any pair within distance 3 shares ≥1 chunk (pigeonhole).
+
+    Vectorized across the batch: ONE ``pd.util.hash_array`` call over all
+    docs' words, bit expansion + ``np.add.reduceat`` over doc boundaries
+    — no per-word hashlib calls."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.word_re = _WORD_RE
+        self.shifts = np.arange(64, dtype=np.uint64)
+
+    def simhash_batch(self, texts: list[str]) -> np.ndarray:
+        words: list[str] = []
+        offsets = np.empty(len(texts) + 1, dtype=np.int64)
+        offsets[0] = 0
+        for d, text in enumerate(texts):
+            toks = self.word_re.findall(text.lower())
+            if not toks:
+                toks = [""]
+            words.extend(toks)
+            offsets[d + 1] = len(words)
+        h = pd.util.hash_array(np.array(words, dtype=object))
+        bits = ((h[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        contrib = 2 * bits - 1  # ±1 per bit
+        sums = np.add.reduceat(contrib, offsets[:-1], axis=0)
+        sh = (sums > 0).astype(np.uint64)
+        return (sh << self.shifts[None, :]).sum(axis=1, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in self.word_re.findall(text.lower()):
-            h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+        return int(self.simhash_batch([text])[0])
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        vals = [
-            None if v is None else self.simhash(v)
-            for v in t[self.text_col].to_pylist()
-        ]
+        texts = t[self.text_col].to_pylist()
+        valid = [i for i, v in enumerate(texts) if v is not None]
+        vals: list = [None] * len(texts)
+        if valid:
+            mat = self.simhash_batch([texts[i] for i in valid])
+            for j, i in enumerate(valid):
+                vals[i] = int(mat[j])
         return t.append_column("simhash", pa.array(vals, type=pa.uint64()))
 
 
-def simhash_pairs(
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_matrix(shs: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances of uint64 simhashes, vectorized
+    (XOR outer product + byte-LUT popcount — no Python bit loops)."""
+    x = np.bitwise_xor.outer(shs, shs)
+    return (
+        _POP8[x.view(np.uint8)]
+        .reshape(len(shs), len(shs), 8)
+        .sum(axis=2, dtype=np.int32)
+    )
+
+
+def simhash_pairs_ds(
     ds: "ray.data.Dataset",
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-) -> list[tuple]:
+    num_partitions: int = 64,
+    max_all_pairs_bucket: int = 256,
+) -> "ray.data.Dataset":
     """Candidate pairs with Hamming(simhash) ≤ max_hamming via 16-bit
-    chunk bucketing + within-bucket verify."""
+    chunk bucketing, as a Dataset (a, b).
+
+    One groupby on a coarse partition of the (chunk, chunk_val) space;
+    within each partition, per-bucket pairing is a vectorized XOR-outer
+    + popcount matrix for buckets ≤ ``max_all_pairs_bucket`` and a
+    star-to-min-doc cap beyond (hot chunk values — e.g. masses of short
+    docs sharing a 16-bit chunk — stay linear, mirroring the minhash
+    guard)."""
     hasher = SimHasher(text_col=text_col)
 
     def explode(t: pa.Table) -> pa.Table:
         t = hasher(t)
-        ids, chunk_ids, chunk_vals, sims = [], [], [], []
-        for i, sh in enumerate(t["simhash"].to_pylist()):
-            if sh is None:
-                continue
-            doc = t[id_col][i].as_py()
-            for c in range(4):
-                ids.append(doc)
-                chunk_ids.append(c)
-                chunk_vals.append((sh >> (16 * c)) & 0xFFFF)
-                sims.append(sh)
+        sh = t["simhash"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        valid = np.array([s is not None for s in sh])
+        if not valid.any():
+            return pa.table(
+                {id_col: pa.array([], t[id_col].type),
+                 "chunk": pa.array([], pa.int32()),
+                 "chunk_val": pa.array([], pa.int64()),
+                 "simhash": pa.array([], pa.uint64()),
+                 "part": pa.array([], pa.int32())}
+            )
+        sh = sh[valid].astype(np.uint64)
+        ids = ids[valid]
+        n = len(sh)
+        chunks = np.tile(np.arange(4, dtype=np.int32), n)
+        vals = (
+            (sh[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)))
+            & np.uint64(0xFFFF)
+        ).astype(np.int64).reshape(-1)
+        part = (
+            pd.util.hash_array(vals * 4 + chunks) % np.uint64(num_partitions)
+        ).astype(np.int32)
         return pa.table(
-            {id_col: ids, "chunk": chunk_ids, "chunk_val": chunk_vals,
-             "simhash": pa.array(sims, type=pa.uint64())}
+            {
+                id_col: pa.array(np.repeat(ids, 4)),
+                "chunk": pa.array(chunks),
+                "chunk_val": pa.array(vals),
+                "simhash": pa.array(np.repeat(sh, 4)),
+                "part": pa.array(part),
+            }
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = rows[id_col].to_numpy()
-        shs = rows["simhash"].to_numpy(dtype=np.uint64)
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if bin(int(shs[i]) ^ int(shs[j])).count("1") <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
+        for _, bucket in g.groupby(["chunk", "chunk_val"], sort=False):
+            rows = bucket.drop_duplicates(id_col).sort_values(id_col)
+            if len(rows) < 2:
+                continue
+            ids = rows[id_col].to_numpy()
+            shs = rows["simhash"].to_numpy().astype(np.uint64)
+            if len(ids) > max_all_pairs_bucket:
+                # star cap: verify only against the min-id doc
+                x = np.bitwise_xor(shs, shs[0])
+                dist = _POP8[x.view(np.uint8)].reshape(len(shs), 8).sum(
+                    axis=1, dtype=np.int32
+                )
+                sel = (dist <= max_hamming) & (ids != ids[0])
+                out_a.extend(np.full(sel.sum(), ids[0]))
+                out_b.extend(ids[sel])
+                continue
+            dm = _hamming_matrix(shs)
+            ii, jj = np.where(np.triu(dm <= max_hamming, k=1))
+            out_a.extend(ids[ii])
+            out_b.extend(ids[jj])
         return pd.DataFrame({"a": out_a, "b": out_b})
 
-    pair_ds = exploded.groupby(["chunk", "chunk_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pair_ds = exploded.groupby("part").map_groups(
+        partition_pairs, batch_format="pandas"
     )
-    return sorted({(r["a"], r["b"]) for r in pair_ds.take_all()})
+    return distinct_pairs(pair_ds, num_partitions=min(num_partitions, 16))
+
+
+def simhash_pairs(ds: "ray.data.Dataset", **kw) -> list[tuple]:
+    """Small-scale convenience wrapper (tests / notebooks); the scale
+    path is ``simhash_pairs_ds``."""
+    return sorted((r["a"], r["b"]) for r in simhash_pairs_ds(ds, **kw).take_all())
 
 
 # ------------------------------------------------- ngram-jaccard dedup
@@ -503,7 +763,26 @@ def ngram_jaccard_dedup(
 # ------------------------------------------- embedding cosine near-dup
 
 
-def embedding_dedup_pairs(
+def _vecs_to_fsb(mat: np.ndarray) -> pa.Array:
+    """(n, dim) float32 matrix → fixed_size_binary(dim*4) Arrow array
+    (one buffer copy, no per-row Python)."""
+    n, dim = mat.shape
+    mat = np.ascontiguousarray(mat, dtype=np.float32)
+    return pa.Array.from_buffers(
+        pa.binary(dim * 4), n, [None, pa.py_buffer(mat.tobytes())]
+    )
+
+
+def _fsb_to_vecs(col) -> np.ndarray:
+    """fixed_size_binary(dim*4) column → (n, dim) float32 view."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    dim = arr.type.byte_width // 4
+    flat = np.frombuffer(arr.buffers()[1], dtype=np.float32)
+    start = arr.offset * dim
+    return flat[start : start + len(arr) * dim].reshape(len(arr), dim)
+
+
+def embedding_dedup_pairs_ds(
     ds: "ray.data.Dataset",
     *,
     id_col: str = "vec_id",
@@ -513,14 +792,25 @@ def embedding_dedup_pairs(
     num_tables: int = 8,
     seed: int = 5,
     dim: int | None = None,
-) -> list[tuple]:
-    """Cosine near-dup candidates via random-hyperplane LSH: per table,
-    a sign signature (num_planes bits) → bucket groupby → within-bucket
-    exact cosine ≥ threshold.  ``num_tables`` independent tables boost
-    recall (prob. a cos-θ pair collides in ≥1 table =
-    1-(1-(1-θ/π)^planes)^tables).  One shuffle total: rows explode to
-    (table, sig) keys before the single groupby.  Hyperplanes are
-    deterministic from the seed, built once per actor."""
+    num_partitions: int = 16,
+    max_all_pairs_bucket: int = 4096,
+) -> "ray.data.Dataset":
+    """Cosine near-dup pairs via random-hyperplane LSH, as a Dataset
+    (a, b): per table, a sign signature (num_planes bits) → ONE coarse
+    groupby on the (table, sig) bucket space → **in-bucket vectorized
+    verification**: one normalized matmul per bucket checks every pair at
+    once, so only PASSING pairs ever materialize as rows (a candidate
+    id-pair explosion — bucket² rows through a distinct + join — never
+    happens).  Buckets larger than ``max_all_pairs_bucket`` fall back to
+    star-to-min-doc verification (linear).  ``num_tables`` independent
+    tables boost recall (prob. a cos-θ pair collides in ≥1 table =
+    1-(1-(1-θ/π)^planes)^tables).
+
+    Cost note: vectors ride the shuffle once per table (float32
+    fixed-size binary, 4× smaller than list<double>); sizing
+    ``num_planes`` so buckets stay ≲10³ keeps the per-bucket matmul the
+    dominant (useful) work.  Hyperplanes are deterministic from the
+    seed, built once."""
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[vec_col])
@@ -530,41 +820,69 @@ def embedding_dedup_pairs(
     def sig(t: pa.Table) -> pa.Table:
         vecs = np.stack(t[vec_col].to_pandas().to_numpy())
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        normed = vecs / np.maximum(norms, 1e-12)
-        ids_out, tbl_out, sig_out, vec_out = [], [], [], []
-        ids = t[id_col].to_pylist()
-        vl = t[vec_col].to_pylist()
+        normed = (vecs / np.maximum(norms, 1e-12)).astype(np.float32)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        sig_mat = np.empty((num_tables, n), dtype=np.int64)
         for tbl in range(num_tables):
             bits = (normed @ planes[tbl].T) > 0
-            sigs = (bits * (1 << np.arange(num_planes))).sum(axis=1)
-            ids_out.extend(ids)
-            tbl_out.extend([tbl] * len(ids))
-            sig_out.extend(sigs.tolist())
-            vec_out.extend(vl)
+            sig_mat[tbl] = (bits * (1 << np.arange(num_planes))).sum(axis=1)
+        tbl_idx = np.repeat(np.arange(num_tables, dtype=np.int32), n)
+        sig_flat = sig_mat.reshape(-1)
+        key = sig_flat * num_tables + tbl_idx
+        part = (pd.util.hash_array(key) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        # normalized vectors ship as fixed-size binary: zero-copy numpy
+        # round-trip, and cosine in-bucket reduces to a plain matmul
+        fsb = _vecs_to_fsb(normed)
         return pa.table(
             {
-                id_col: pa.array(ids_out),
-                "table": pa.array(tbl_out, type=pa.int32()),
-                "sig": pa.array(sig_out, type=pa.int64()),
-                vec_col: pa.array(vec_out, type=t[vec_col].type),
+                id_col: pa.array(np.tile(ids, num_tables)),
+                "table": pa.array(tbl_idx),
+                "sig": pa.array(sig_flat),
+                "part": pa.array(part),
+                "_vec": pa.chunked_array([fsb] * num_tables),
             }
         )
 
     bucketed = ds.map_batches(sig, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        vecs = np.stack(g[vec_col].to_numpy())
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        normed = vecs / np.maximum(norms, 1e-12)
-        sims = normed @ normed.T
-        ii, jj = np.where(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, bucket in g.groupby(["table", "sig"], sort=False):
+            rows = bucket.drop_duplicates(id_col).sort_values(id_col)
+            if len(rows) < 2:
+                continue
+            ids = rows[id_col].to_numpy()
+            normed = np.frombuffer(
+                b"".join(rows["_vec"]), dtype=np.float32
+            ).reshape(len(rows), -1)
+            if len(ids) > max_all_pairs_bucket:
+                cos = normed[1:] @ normed[0]
+                sel = cos >= threshold
+                out.append(pd.DataFrame(
+                    {"a": np.full(int(sel.sum()), ids[0]), "b": ids[1:][sel]}
+                ))
+                continue
+            sims = normed @ normed.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            out.append(pd.DataFrame({"a": ids[ii], "b": ids[jj]}))
+        return (
+            pd.concat(out, ignore_index=True).drop_duplicates()
+            if out
+            else pd.DataFrame({"a": [], "b": []})
+        )
 
-    pair_ds = bucketed.groupby(["table", "sig"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    verified = bucketed.groupby("part").map_groups(
+        partition_pairs, batch_format="pandas"
     )
-    return sorted({(r["a"], r["b"]) for r in pair_ds.take_all()})
+    return distinct_pairs(verified, num_partitions=min(num_partitions, 8))
+
+
+def embedding_dedup_pairs(ds: "ray.data.Dataset", **kw) -> list[tuple]:
+    """Small-scale convenience wrapper (tests / notebooks); the scale
+    path is ``embedding_dedup_pairs_ds``."""
+    return sorted(
+        (r["a"], r["b"]) for r in embedding_dedup_pairs_ds(ds, **kw).take_all()
+    )

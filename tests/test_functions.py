@@ -152,6 +152,151 @@ class TestDedup:
         assert pairs == [(0, 1)]
 
 
+class TestDedupDistributed:
+    """The 100-TB path: no driver-side materialization anywhere in the
+    near-dedup pipeline (VERDICT r1 #1), and exact agreement with the
+    driver-side reference algorithm."""
+
+    def _corpus(self, n_clusters=12, dups_per=3):
+        rows = []
+        doc_id = 0
+        for c in range(n_clusters):
+            base = " ".join(f"w{c}x{i} common tail of cluster {c}" for i in range(12))
+            for d in range(dups_per):
+                # near-dups: perturb one token per copy
+                txt = base.replace(f"w{c}x{d}", f"w{c}y{d}") if d else base
+                rows.append((doc_id, txt))
+                doc_id += 1
+        return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def test_minhash_dedup_no_driver_materialization(self, monkeypatch):
+        """Full minhash_dedup forced onto the scale path
+        (small_path_max_pairs=0) with Dataset.take_all poisoned: the
+        pipeline must never collect pairs/texts/labels to the driver."""
+        def poisoned(self, *a, **k):
+            raise AssertionError(
+                "take_all called inside the distributed dedup path"
+            )
+
+        df = self._corpus()
+        ds = ray.data.from_pandas(df)
+        monkeypatch.setattr(ray.data.Dataset, "take_all", poisoned)
+        kept = dedup.minhash_dedup(
+            ds, threshold=0.5, num_perm=64, bands=16, k=3,
+            small_path_max_pairs=0,
+        )
+        kept = kept.materialize()  # executes the whole pipeline under the poison
+        monkeypatch.undo()
+        ids = sorted(r["doc_id"] for r in kept.take_all())
+        # each cluster of 3 near-dups collapses to its min id (0, 3, 6, …)
+        assert ids == [i * 3 for i in range(12)]
+
+    def test_minhash_dedup_small_path_is_bounded(self, monkeypatch):
+        """The default (bounded-broadcast) path may take_all ONLY sets
+        provably below the bound — never corpus-sized results."""
+        cap = 2_000
+        orig = ray.data.Dataset.take_all
+
+        def bounded(self, *a, **k):
+            out = orig(self, *a, **k)
+            assert len(out) <= cap, f"driver collected {len(out)} rows"
+            return out
+
+        df = self._corpus()
+        ds = ray.data.from_pandas(df)
+        monkeypatch.setattr(ray.data.Dataset, "take_all", bounded)
+        kept = dedup.minhash_dedup(ds, threshold=0.5, num_perm=64, bands=16, k=3)
+        ids = sorted(r["doc_id"] for r in kept.take_all())
+        monkeypatch.undo()
+        assert ids == [i * 3 for i in range(12)]
+
+    def test_minhash_dedup_paths_agree(self):
+        """Bounded small path and fully-distributed path return identical
+        survivors."""
+        df = self._corpus(n_clusters=8, dups_per=3)
+        a = dedup.minhash_dedup(
+            ray.data.from_pandas(df), threshold=0.5, num_perm=64, bands=16, k=3
+        )
+        b = dedup.minhash_dedup(
+            ray.data.from_pandas(df), threshold=0.5, num_perm=64, bands=16,
+            k=3, small_path_max_pairs=0,
+        )
+        assert sorted(r["doc_id"] for r in a.take_all()) == sorted(
+            r["doc_id"] for r in b.take_all()
+        )
+
+    def test_distributed_matches_driver_reference(self):
+        """Distributed pairs→verify→CC→anti-join == list-based
+        pairs + jaccard loop + union-find (the r1 implementation)."""
+        df = self._corpus(n_clusters=6, dups_per=4)
+        ds = ray.data.from_pandas(df)
+        pairs = dedup.minhash_lsh_pairs(ds, num_perm=64, bands=16, k=3)
+        texts = dict(zip(df["doc_id"], df["text"]))
+        verified = [
+            (a, b) for a, b in pairs
+            if dedup.jaccard(texts[a], texts[b], 3) >= 0.5
+        ]
+        roots = dedup.connected_components(verified)
+        want = sorted(set(texts) - {n for n, r in roots.items() if r != n})
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.minhash_dedup(
+                ds, threshold=0.5, num_perm=64, bands=16, k=3
+            ).take_all()
+        )
+        assert got == want
+
+    def test_simhash_star_cap_bounds_hot_buckets(self):
+        """A bucket larger than max_all_pairs_bucket pairs as a star to
+        the min id — linear, not quadratic (the minhash guard, ported)."""
+        df = pd.DataFrame(
+            {"doc_id": range(20), "text": ["identical text body"] * 20}
+        )
+        ds = ray.data.from_pandas(df)
+        pairs = dedup.simhash_pairs(ds, max_hamming=3, max_all_pairs_bucket=8)
+        assert pairs == [(0, b) for b in range(1, 20)]
+
+    def test_simhash_batch_matches_single(self):
+        h = dedup.SimHasher()
+        texts = [d[1] for d in DOCS]
+        batch = h.simhash_batch(texts)
+        assert [h.simhash(t) for t in texts] == [int(x) for x in batch]
+
+    def test_minhash_signatures_batch_matches_single(self):
+        h = dedup.MinHasher(num_perm=32, k=3)
+        texts = [d[1] for d in DOCS]
+        mat = h.signatures(texts)
+        for i, t in enumerate(texts):
+            assert (h.signature(t) == mat[i]).all()
+
+    def test_minhash_chunked_signatures(self):
+        """Chunking across the MAX_CHUNK_SHINGLES boundary is lossless."""
+        h = dedup.MinHasher(num_perm=16, k=2)
+        texts = ["tok%d word " % i * 40 for i in range(8)]
+        full = h.signatures(texts)
+        h.MAX_CHUNK_SHINGLES = 50  # force multiple chunks
+        assert (h.signatures(texts) == full).all()
+
+    def test_embedding_dedup_ships_no_vectors_in_shuffle(self, monkeypatch):
+        """Verified-pair computation with poisoned take_all (vectors join
+        candidates distributively; nothing collects)."""
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal(16).astype(np.float32)
+        vecs = [base, base + 0.001, rng.standard_normal(16).astype(np.float32)]
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"vec_id": [0, 1, 2],
+                          "embedding": [v.tolist() for v in vecs]})
+        )
+        def poisoned(self, *a, **k):
+            raise AssertionError("take_all inside distributed path")
+        monkeypatch.setattr(ray.data.Dataset, "take_all", poisoned)
+        out = dedup.embedding_dedup_pairs_ds(
+            ds, threshold=0.99, num_planes=4
+        ).materialize()
+        monkeypatch.undo()
+        assert [(r["a"], r["b"]) for r in out.take_all()] == [(0, 1)]
+
+
 class TestAnn:
     def _ds(self, n=200, dim=16, seed=0):
         rng = np.random.default_rng(seed)
