@@ -316,12 +316,49 @@ def q_ann_brute_force(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def _ivf_index_dir(sf_dir: str, n_clusters: int) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/ivf_index_{tag}_c{n_clusters}"
+
+
 def q_ann_ivf(sf_dir: str):
+    """IVF via the PERSISTED index (build once: sampled k-means + one
+    cluster-partitioned write; search reads only probed partitions).
+    nprobe == n_clusters here so the exact SQL oracle applies; the
+    approximate path is exercised by ``ann_ivf_approx`` + the recall
+    pytest."""
     from plugin_debezium_ray.functions.ann import ivf_topk
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = ivf_topk(ds, _first_queries(sf_dir), k=10, n_clusters=8, nprobe=8)
+    out = ivf_topk(
+        ds, _first_queries(sf_dir), k=10, n_clusters=8, nprobe=8,
+        index_dir=_ivf_index_dir(sf_dir, 8),
+    )
     return out[["query_id", "vec_id", "rank"]]
+
+
+def q_ann_ivf_approx(sf_dir: str):
+    """IVF in APPROXIMATE mode (nprobe=2 of 8 clusters) against the
+    persisted index, reporting per-query recall@10 vs the brute-force
+    truth — the accuracy/probe-cost trade is the observable."""
+    import pandas as pd
+
+    from plugin_debezium_ray.functions.ann import brute_force_topk, ivf_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = _first_queries(sf_dir)
+    approx = ivf_topk(
+        ds, queries, k=10, n_clusters=8, nprobe=2,
+        index_dir=_ivf_index_dir(sf_dir, 8),
+    )
+    truth = brute_force_topk(ds, queries, k=10)
+    rows = []
+    for qid, grp in truth.groupby("query_id"):
+        want = set(grp["vec_id"])
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        rows.append({"query_id": int(qid),
+                     "recall_at_10": len(want & got) / len(want)})
+    return pd.DataFrame(rows)
 
 
 def q_agg_event_stats(sf_dir: str):
@@ -446,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": q_text_langid,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_approx": q_ann_ivf_approx,
         "agg_event_stats": q_agg_event_stats,
         "window_tumbling": q_window_tumbling,
         "window_sessions": q_window_sessions,

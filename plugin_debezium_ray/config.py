@@ -122,6 +122,19 @@ class CaptureConfig:
     #: soft wall budget for multi-segment replays (ST7 maxDuration analogue;
     #: checked between segment groups, like the reference's 1 s poll loop)
     max_duration_seconds: float | None = None
+    #: idle stop for the streaming surface (``iter_events``): stop when no
+    #: record arrives for this long — the reference's ``maxWait``
+    #: (`AbstractDebeziumTask.java:138-144`, default 10 s, soft limit).
+    #: ``None`` = no idle stop (bounded replays drain regardless).
+    max_wait_seconds: float | None = None
+    #: wall budget for the snapshot phase — the reference's
+    #: ``maxSnapshotDuration`` (`AbstractDebeziumTask.java:146-152`,
+    #: default 1 h, soft: checked at the phase boundary like the 1 s poll
+    #: loop).  When set, the snapshot applies as its own atomic commit and
+    #: an over-budget snapshot stops the capture before the streaming
+    #: phase (``ReplayResult.stopped_reason``); when ``None`` the snapshot
+    #: unions into the stream (single shuffle — the fast path).
+    max_snapshot_duration_seconds: float | None = None
     snapshot_mode: SnapshotMode = SnapshotMode.INITIAL
     offset_commit_mode: OffsetCommitMode = OffsetCommitMode.ON_STOP
     # physical knobs
@@ -134,6 +147,14 @@ class CaptureConfig:
 
     def compiled_excludes(self) -> list[re.Pattern] | None:
         return [re.compile(p) for p in self.excluded_tables] or None
+
+
+# the reference's built-in stop-condition defaults
+# (`AbstractDebeziumTask.java:138-152`); our dataclass leaves them None
+# (bounded replays need no idle stop) — callers wanting reference-default
+# behavior use these
+REFERENCE_DEFAULT_MAX_WAIT_SECONDS = 10.0
+REFERENCE_DEFAULT_MAX_SNAPSHOT_DURATION_SECONDS = 3600.0
 
 
 def join_properties(value: str | list[str] | None) -> str | None:

@@ -108,6 +108,142 @@ def brute_force_topk(
 # ------------------------------------------------------------------ IVF
 
 
+def kmeans_fit_sample(
+    ds: "ray.data.Dataset",
+    n_clusters: int,
+    *,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 3,
+    sample_size: int = 65536,
+) -> np.ndarray:
+    """Deterministic k-means on a BOUNDED sample, Lloyd's run locally:
+    the corpus is scanned once (``limit`` reads only enough blocks), not
+    once per iteration — the index-build fit for 10^10-row corpora.
+    Sample-based centroids are the standard IVF practice (the quantizer
+    needs distributional coverage, not every row)."""
+    sample = ds.limit(sample_size).take_all()
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float32) for r in sample])
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)),
+                               replace=False)]
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(centroids)):
+            sel = assign == c
+            if sel.any():
+                centroids[c] = mat[sel].mean(axis=0)
+    return centroids
+
+
+class IvfIndex:
+    """Persisted IVF index over an embedding Dataset.
+
+    Build = ONE bounded-sample k-means fit + ONE assignment pass that
+    writes the corpus as cluster-partitioned Parquet
+    (``cluster=NNN/…``) plus the centroid matrix — the corpus is
+    scanned once at build, never at query time.  Search reads ONLY the
+    probed cluster partitions (union of each query's ``nprobe`` nearest
+    centroids) and runs the brute-force top-k over that slice.
+
+    Resumable/multi-query: the on-disk layout is the index; repeated
+    searches reuse it with zero corpus scans."""
+
+    META = "ivf_meta.json"
+
+    def __init__(self, index_dir: str, centroids: np.ndarray,
+                 id_col: str, vec_col: str):
+        self.index_dir = index_dir
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls,
+        ds: "ray.data.Dataset",
+        index_dir: str,
+        n_clusters: int,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 10,
+        seed: int = 3,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        centroids = kmeans_fit_sample(
+            ds, n_clusters, vec_col=vec_col, iters=iters, seed=seed
+        )
+        cref = ray.put(centroids)
+
+        class Assign:
+            def __init__(self, cref):
+                self.c = ray.get(cref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                vecs = _stack(t[vec_col])
+                assign = np.argmin(
+                    ((vecs[:, None, :] - self.c[None, :, :]) ** 2).sum(-1),
+                    axis=1,
+                )
+                return t.append_column(
+                    "cluster", pa.array(assign.astype(np.int64))
+                )
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(
+            Assign, fn_constructor_args=(cref,), batch_format="pyarrow",
+            concurrency=(1, 8),
+        ).write_parquet(index_dir, partition_cols=["cluster"])
+        np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+        with open(os.path.join(index_dir, cls.META), "w") as f:
+            json.dump({"n_clusters": int(len(centroids)),
+                       "id_col": id_col, "vec_col": vec_col}, f)
+        return cls(index_dir, centroids, id_col, vec_col)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(index_dir, cls.META)) as f:
+            meta = json.load(f)
+        centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        return cls(index_dir, centroids, meta["id_col"], meta["vec_col"])
+
+    def probe_clusters(self, queries: np.ndarray, nprobe: int) -> list[int]:
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        order = np.argsort(
+            ((q[:, None, :] - self.centroids[None, :, :]) ** 2).sum(-1), axis=1
+        )[:, :nprobe]
+        return sorted({int(c) for row in order for c in row})
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, *, nprobe: int = 4
+    ) -> pd.DataFrame:
+        import os
+
+        import glob
+
+        probe = self.probe_clusters(queries, nprobe)
+        # Ray 2.49's read_parquet accepts one directory or a list of
+        # FILES, not a list of directories — glob the partition files
+        paths = [
+            f
+            for c in probe
+            for f in sorted(
+                glob.glob(os.path.join(self.index_dir, f"cluster={c}", "*.parquet"))
+            )
+        ]
+        probed = ray.data.read_parquet(paths)
+        return brute_force_topk(
+            probed, queries, k, id_col=self.id_col, vec_col=self.vec_col
+        )
+
+
 def kmeans_fit(
     ds: "ray.data.Dataset",
     n_clusters: int,
@@ -167,11 +303,29 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    index_dir: str | None = None,
 ) -> pd.DataFrame:
     """IVF search: restrict the brute-force scan to rows whose nearest
     centroid is among each query's ``nprobe`` closest.  Approximate by
     construction; recall grows with nprobe (== brute force when
-    nprobe == n_clusters)."""
+    nprobe == n_clusters).
+
+    With ``index_dir`` the persisted-index path is used: build once
+    (single corpus pass, cluster-partitioned Parquet) if absent, then
+    probe only the matching partitions — repeated queries never rescan
+    the corpus.  Without it, falls back to the index-free one-shot scan
+    (fit + in-stream assignment filter)."""
+    import os
+
+    if index_dir is not None:
+        if os.path.exists(os.path.join(index_dir, IvfIndex.META)):
+            idx = IvfIndex.load(index_dir)
+        else:
+            idx = IvfIndex.build(
+                ds, index_dir, n_clusters, id_col=id_col, vec_col=vec_col
+            )
+        return idx.search(queries, k, nprobe=nprobe)
+
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
     if centroids is None:
         centroids = kmeans_fit(ds, n_clusters, vec_col=vec_col)

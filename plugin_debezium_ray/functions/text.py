@@ -143,46 +143,55 @@ def md5_fingerprint_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
 
 
 class RollingFingerprint:
-    """Rolling-hash (Rabin-Karp) document fingerprint: min of rolling
+    """Rolling-hash (Rabin-Karp) document fingerprint: min of polynomial
     hashes over token windows — robust to local edits, winnowing-style
-    (Schleimer et al., SIGMOD'03 idea, public).  Deterministic."""
+    (Schleimer et al., SIGMOD'03 idea, public).  Deterministic.
 
-    B = 1_000_003
-    MASK = (1 << 61) - 1
+    Vectorized: ONE keyed-hash call over every token in the batch, then
+    per-doc windowed polynomial sums in native uint64 (mod 2^64 by
+    wraparound) via ``sliding_window_view`` — no Python bignum math."""
+
+    B = np.uint64(1_000_003)
 
     def __init__(self, window: int = 8, text_col: str = "text"):
         self.window = window
         self.text_col = text_col
         self.word_re = re.compile(r"\S+")
+        # B^(w-1-i) mod 2^64 for every window size ≤ window, built once
+        pw = np.ones(window, dtype=np.uint64)
+        for i in range(1, window):
+            pw[i] = pw[i - 1] * self.B  # uint64 wraparound = mod 2^64
+        self._pows = pw  # pw[j] = B^j
 
-    def _token_hashes(self, text: str) -> np.ndarray:
-        toks = self.word_re.findall(text)
-        return np.array(
-            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-             for w in toks],
-            dtype=np.uint64,
-        )
+    def _weights(self, w: int) -> np.ndarray:
+        return self._pows[:w][::-1].copy()  # B^(w-1) … B^0
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out = []
-        for text in t[self.text_col].to_pylist():
+        texts = t[self.text_col].to_pylist()
+        words: list[str] = []
+        offsets = [0]
+        for text in texts:
+            if text is not None:
+                words.extend(self.word_re.findall(text))
+            offsets.append(len(words))
+        hashes = (
+            pd.util.hash_array(np.array(words, dtype=object))
+            if words
+            else np.empty(0, dtype=np.uint64)
+        )
+        out: list = []
+        for d, text in enumerate(texts):
             if text is None:
                 out.append(None)
                 continue
-            h = self._token_hashes(text)
-            w = min(self.window, max(1, len(h)))
+            h = hashes[offsets[d] : offsets[d + 1]]
             if len(h) == 0:
                 out.append(0)
                 continue
-            # rolling polynomial hash over windows, vectorized per doc
-            pw = np.array(
-                [pow(self.B, w - 1 - i, self.MASK + 1) for i in range(w)],
-                dtype=object,
+            w = min(self.window, len(h))
+            wins = np.lib.stride_tricks.sliding_window_view(h, w)
+            vals = (wins * self._weights(w)[None, :]).sum(
+                axis=1, dtype=np.uint64
             )
-            n_win = len(h) - w + 1
-            vals = [
-                int(sum(int(h[j + i]) * int(pw[i]) for i in range(w)) & self.MASK)
-                for j in range(n_win)
-            ]
-            out.append(min(vals))
+            out.append(int(vals.min()))
         return t.append_column("fingerprint_rolling", pa.array(out, type=pa.uint64()))

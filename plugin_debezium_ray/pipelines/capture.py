@@ -42,16 +42,28 @@ def capture_to_files(
     out_dir: str,
     *,
     min_rows_per_file: int | None = None,
+    file_format: str = "parquet",
 ) -> CaptureOutput:
-    """Decode + format the envelope stream and write one Parquet
-    directory per output stream.
+    """Decode + format the envelope stream and write one directory per
+    output stream.
 
     Stream routing follows ``config.split_table`` (M9): OFF → single
-    ``data`` stream, DATABASE → per-db, TABLE → per-db.table."""
+    ``data`` stream, DATABASE → per-db, TABLE → per-db.table.
+
+    ``file_format``: ``"parquet"`` (the lake default) or ``"jsonl"`` —
+    one JSON object per record, the reference's actual file contract
+    (Amazon-Ion/JSON rows via ``FileSerde.write``,
+    `ChangeConsumer.java:192`).  JSON-lines writes stream per-stream
+    (Ray's ``write_json`` has no partition_cols), still never
+    materializing a stream on the driver."""
     decoder = EnvelopeDecoder(config)
     decoded = envelopes.map_batches(
         decoder, batch_format="pyarrow", batch_size=config.batch_size
     )
+    if file_format == "jsonl":
+        return _capture_jsonl(decoded, out_dir)
+    if file_format != "parquet":
+        raise ValueError(f"unknown file_format {file_format!r}")
     kw = {}
     if min_rows_per_file is not None:
         kw["min_rows_per_file"] = min_rows_per_file
@@ -67,4 +79,35 @@ def capture_to_files(
         )
         counts[stream] = n
         uris[stream] = part_dir
+    return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)
+
+
+def _capture_jsonl(
+    decoded: "ray.data.Dataset", out_dir: str
+) -> CaptureOutput:
+    """One JSON-lines directory per stream (K1 row-JSON contract).
+
+    The decoded stream is materialized ONCE (so the per-stream filtered
+    writes below don't re-run the decode), then each stream filter-writes
+    its own directory — block-streaming, driver sees only stream names
+    and counts."""
+    import pyarrow.compute as pc
+
+    decoded = decoded.materialize()
+    streams = sorted(
+        x for x in decoded.unique(STREAM_COL) if x is not None
+    )
+    counts: dict[str, int] = {}
+    uris: dict[str, str] = {}
+    for stream in streams:
+        sub = decoded.map_batches(
+            lambda t, s=stream: t.filter(
+                pc.equal(t[STREAM_COL], s)
+            ).drop_columns([STREAM_COL]),
+            batch_format="pyarrow",
+        )
+        path = os.path.join(out_dir, stream)
+        sub.write_json(path)
+        counts[stream] = sub.count()
+        uris[stream] = path
     return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)

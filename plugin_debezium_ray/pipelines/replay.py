@@ -54,6 +54,9 @@ class ReplayResult:
     table_dir: str
     elapsed_seconds: float
     metrics: dict = field(default_factory=dict)
+    #: soft stop condition that ended the capture early, if any
+    #: ("max_snapshot_duration" — AbstractDebeziumTask.java:611-634)
+    stopped_reason: str | None = None
 
     @property
     def size(self) -> int:  # the reference Output.size analogue
@@ -170,6 +173,41 @@ class ReplayJob:
             SnapshotMode.WHEN_NEEDED,
             SnapshotMode.INITIAL_ONLY,
         ):
+            if (
+                cfg.max_snapshot_duration_seconds is not None
+                and mode != SnapshotMode.INITIAL_ONLY
+            ):
+                # snapshot wall budget (maxSnapshotDuration,
+                # AbstractDebeziumTask.java:218-233): the snapshot phase
+                # runs as its OWN atomic commit; if it overruns the soft
+                # budget, the capture stops before the streaming phase —
+                # the committed snapshot state resumes on the next run.
+                from dataclasses import replace
+
+                snap_cfg = replace(
+                    cfg,
+                    snapshot_mode=SnapshotMode.NEVER,
+                    max_snapshot_duration_seconds=None,
+                    max_records=None,  # snapshot is exempt from maxRecords
+                )
+                sub = ReplayJob(
+                    snap_cfg,
+                    self.table_dir,
+                    connector_id=self.connector_id,
+                    fingerprint_col=self.fingerprint_col,
+                )
+                t_snap = time.monotonic()
+                snap_res = sub.run(snapshot, ddl_source=False)
+                snap_elapsed = time.monotonic() - t_snap
+                if snap_elapsed > cfg.max_snapshot_duration_seconds:
+                    snap_res.stopped_reason = "max_snapshot_duration"
+                    snap_res.metrics["snapshot_seconds"] = round(snap_elapsed, 3)
+                    return snap_res
+                res = self.run(envelopes, snapshot=None, ddl_source=ddl_source)
+                res.events_seen += snap_res.events_seen
+                res.metrics["snapshot_events"] = snap_res.events_seen
+                res.metrics["snapshot_seconds"] = round(snap_elapsed, 3)
+                return res
             ds = snapshot if mode == SnapshotMode.INITIAL_ONLY else snapshot.union(ds)
         if mode == SnapshotMode.NO_DATA:
             # schema-only: commit the registry snapshot, apply nothing
@@ -321,17 +359,45 @@ class ReplayJob:
 
     # ------------------------------------------------------ streaming
 
-    def iter_events(self, envelopes: "ray.data.Dataset", *, batch_size: int = 4096):
+    def iter_events(
+        self,
+        envelopes: "ray.data.Dataset",
+        *,
+        batch_size: int = 4096,
+        max_wait_seconds: float | None = None,
+        max_duration_seconds: float | None = None,
+    ):
         """Realtime-trigger surface: yields ``{"stream": s, "data": row}``
         per formatted record, streaming with backpressure (K2,
-        `ChangeConsumer.java:147-160`).  Never materializes the stream."""
+        `ChangeConsumer.java:147-160`).  Never materializes the stream.
+
+        ``max_wait_seconds`` (defaults to ``cfg.max_wait_seconds``) is the
+        idle stop: iteration ends when no batch arrives for that long —
+        the reference's ``maxWait`` (`AbstractDebeziumTask.java:138-144,
+        626-630`, soft limit).  ``max_duration_seconds`` bounds the total
+        wall time (``maxDuration``, `:617-624`)."""
         decoder = EnvelopeDecoder(self.cfg)
         decoded = envelopes.map_batches(
             decoder, batch_format="pyarrow", batch_size=batch_size
         )
-        for batch in decoded.iter_batches(
+        max_wait = (
+            max_wait_seconds
+            if max_wait_seconds is not None
+            else self.cfg.max_wait_seconds
+        )
+        max_dur = (
+            max_duration_seconds
+            if max_duration_seconds is not None
+            else self.cfg.max_duration_seconds
+        )
+        batches = decoded.iter_batches(
             batch_size=batch_size, batch_format="pyarrow"
-        ):
+        )
+        if max_wait is None and max_dur is None:
+            gen = batches
+        else:
+            gen = _idle_bounded(batches, max_wait, max_dur)
+        for batch in gen:
             streams = batch["_stream"].to_pylist()
             rows = batch.drop_columns(["_stream"]).to_pylist()
             for s, row in zip(streams, rows):
@@ -345,6 +411,47 @@ class ReplayJob:
         if not paths:
             raise FileNotFoundError(f"no committed state under {self.table_dir}")
         return ray.data.read_parquet(paths)
+
+
+def _idle_bounded(batch_iter, max_wait: float | None, max_dur: float | None):
+    """Wrap a blocking batch iterator with the reference's soft stop
+    conditions: stop when no batch arrives for ``max_wait`` seconds
+    (idle, `AbstractDebeziumTask.java:626-630`) or total wall time
+    exceeds ``max_dur`` (`:617-624`).  A producer thread pulls batches so
+    the consumer can time out on the queue without killing the stream
+    mid-batch."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+    _END = object()
+
+    def produce():
+        try:
+            for b in batch_iter:
+                q.put(b)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    start = time.monotonic()
+    while True:
+        remaining = None
+        if max_wait is not None:
+            remaining = max_wait
+        if max_dur is not None:
+            wall_left = max_dur - (time.monotonic() - start)
+            if wall_left <= 0:
+                return
+            remaining = wall_left if remaining is None else min(remaining, wall_left)
+        try:
+            item = q.get(timeout=remaining)
+        except queue.Empty:
+            return  # idle (maxWait) or wall (maxDuration) stop
+        if item is _END:
+            return
+        yield item
 
 
 def _env_schema(ds: "ray.data.Dataset") -> pa.Schema:

@@ -46,3 +46,42 @@ def test_split_off_single_stream(tmp_path):
     cfg = CaptureConfig(key_cols=("id",), split_table=SplitTable.OFF)
     out = capture_to_files(_env_ds(), cfg, str(tmp_path))
     assert list(out.counts) == ["data"] and out.size == 4
+
+
+def test_jsonl_format_round_trip(tmp_path):
+    """The reference's actual file contract is row-JSON
+    (`ChangeConsumer.java:192`): format knob writes one JSON-lines dir
+    per stream, values round-trip through a JSON read."""
+    import glob
+    import json
+
+    out = capture_to_files(
+        _env_ds(),
+        CaptureConfig(key_cols=("id",)),
+        str(tmp_path),
+        file_format="jsonl",
+    )
+    assert out.size == 4
+    assert set(out.counts) == {"db1.a", "db1.b"}
+    rows = []
+    for f in glob.glob(str(tmp_path / "db1.a" / "*.json")):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    assert all("deleted" in r for r in rows)
+    # values match the parquet sink for the same stream
+    pq_out = capture_to_files(
+        _env_ds(), CaptureConfig(key_cols=("id",)), str(tmp_path / "pq")
+    )
+    t = pq.read_table(pq_out.uris["db1.a"])
+    assert sorted(t["id"].to_pylist()) == sorted(r["id"] for r in rows)
+
+
+def test_jsonl_unknown_format_rejected(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown file_format"):
+        capture_to_files(
+            _env_ds(), CaptureConfig(key_cols=("id",)), str(tmp_path),
+            file_format="ion",
+        )

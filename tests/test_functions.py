@@ -338,6 +338,69 @@ class TestAnn:
         c2 = kmeans_fit(ds, 4, iters=2)
         np.testing.assert_array_equal(c1, c2)
 
+    def _clustered_ds(self, n_clusters=6, per=60, dim=16, seed=4):
+        """Well-separated gaussian blobs — the regime IVF is for."""
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 8
+        vecs = np.concatenate(
+            [c + rng.standard_normal((per, dim)).astype(np.float32) * 0.3
+             for c in centers]
+        )
+        n = len(vecs)
+        return (
+            ray.data.from_pandas(
+                pd.DataFrame(
+                    {"vec_id": np.arange(n),
+                     "embedding": [v.tolist() for v in vecs]}
+                )
+            ),
+            vecs,
+        )
+
+    def test_ivf_index_build_probe_and_recall(self, tmp_path):
+        """The persisted-index path (VERDICT r1 #6): ONE build pass writes
+        a cluster-partitioned layout; approximate search (nprobe <
+        n_clusters) reads only probed partitions and reaches recall@10
+        ≥ 0.9 on clustered data."""
+        import os
+
+        from plugin_debezium_ray.functions.ann import IvfIndex
+
+        ds, vecs = self._clustered_ds()
+        idx_dir = str(tmp_path / "ivf")
+        idx = IvfIndex.build(ds, idx_dir, n_clusters=6)
+        # on-disk layout: one directory per cluster + centroids + meta
+        parts = [d for d in os.listdir(idx_dir) if d.startswith("cluster=")]
+        assert 1 < len(parts) <= 6
+        assert os.path.exists(os.path.join(idx_dir, "centroids.npy"))
+
+        q = vecs[[5, 100, 200]]
+        truth = brute_force_topk(ds, q, k=10)
+        approx = IvfIndex.load(idx_dir).search(q, k=10, nprobe=2)
+        recalls = []
+        for qid, grp in truth.groupby("query_id"):
+            want = set(grp["vec_id"])
+            got = set(approx[approx["query_id"] == qid]["vec_id"])
+            recalls.append(len(want & got) / len(want))
+        assert min(recalls) >= 0.9, recalls
+        # probe restriction is real: nprobe=1 scans a strict subset
+        one = IvfIndex.load(idx_dir)
+        assert len(one.probe_clusters(q, 1)) < len(one.probe_clusters(q, 6))
+
+    def test_ivf_index_exact_mode_matches_brute_force(self, tmp_path):
+        ds, vecs = self._clustered_ds(n_clusters=4, per=40)
+        from plugin_debezium_ray.functions.ann import ivf_topk
+
+        q = vecs[3:5]
+        exact = brute_force_topk(ds, q, k=5)
+        via_index = ivf_topk(
+            ds, q, k=5, n_clusters=4, nprobe=4,
+            index_dir=str(tmp_path / "ivf2"),
+        )
+        pd.testing.assert_frame_equal(
+            exact.reset_index(drop=True), via_index.reset_index(drop=True)
+        )
+
 
 class TestMultimodal:
     def _img_ds(self):
