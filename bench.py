@@ -32,14 +32,28 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE = "/tmp/graft_bench_cache"
 
 # WAL scale: ~20 change events per events-table row (sf0.1 → 2M events);
-# the scaling run uses 2× that so compute dominates fixed pipeline latency
+# the scaling run uses 12× that (25.2M events) so per-commit compute
+# dominates the ~1.8 s/commit stage-barrier latency floor (measured:
+# sort+schedule+fold latency is constant in CPU count, so small jobs
+# understate scaling — the 10^10-event regime has minutes of compute per
+# commit, which this approximates)
 EVENTS_PER_ROW = 20
-SCALING_EVENTS_PER_ROW = 80
+SCALING_EVENTS_PER_ROW = 240
 WAL_SEED = 42
 # identical bucket count at every parallelism level (comparable work)
 NUM_BUCKETS = int(os.environ.get("GRAFT_NUM_BUCKETS", "128"))
 REPLAY_BATCH = 131072  # measured sweet spot (262144 degrades: buffering)
-TARGET_BLOCK_MB = 512  # wide content rows: fewer, larger blocks win
+# 32 MB blocks: the shuffle's map-side parallelism = input block count,
+# so small blocks keep all slots busy (512 MB starved the sort at 1-2
+# blocks per 1M-event segment; measured 27.4s -> 18.5s at 32 cpus)
+TARGET_BLOCK_MB = int(os.environ.get("GRAFT_BLOCK_MB", "32"))
+# pipelined segment groups: decode of group N+1 overlaps merge of group N
+# (measured vs monolithic single-shuffle run: 45.6 -> 15-19s at 32 cpus,
+# 116 -> 25s at 8 cpus on the 8.4M-event WAL); 0 = monolithic
+PIPELINE_GROUPS = int(os.environ.get("GRAFT_PIPELINE_GROUPS", "8"))
+# read parallelism per segment group (a group is only ~8 files — without
+# the override the whole prepare phase runs ≤8 tasks wide)
+GROUP_READ_BLOCKS = int(os.environ.get("GRAFT_GROUP_READ_BLOCKS", "64"))
 
 
 def _events_rows(sf_dir: str) -> int:
@@ -107,10 +121,27 @@ def bench_cdc_replay(
         CaptureConfig(num_buckets=NUM_BUCKETS, batch_size=REPLAY_BATCH),
         lake,
     )
-    res = job.run_from_paths(wal_dir, snapshot_paths=snap_dir)
+    if PIPELINE_GROUPS > 1:
+        import glob
+
+        files = sorted(glob.glob(os.path.join(wal_dir, "*.parquet")))
+        per = (len(files) + PIPELINE_GROUPS - 1) // PIPELINE_GROUPS
+        groups = [
+            ray.data.read_parquet(
+                files[i : i + per], override_num_blocks=GROUP_READ_BLOCKS
+            )
+            for i in range(0, len(files), per)
+        ]
+        out = job.run_segments_pipelined(
+            groups, snapshot=ray.data.read_parquet(snap_dir)
+        )
+        seen = sum(r.events_seen for r in out)
+    else:
+        res = job.run_from_paths(wal_dir, snapshot_paths=snap_dir)
+        seen = res.events_seen
     dt = time.monotonic() - t0
     shutil.rmtree(lake, ignore_errors=True)
-    return {"sec": dt, "events": res.events_seen, "eps": res.events_seen / dt}
+    return {"sec": dt, "events": seen, "eps": seen / dt}
 
 
 def bench_cdc_decode(sf_dir: str) -> dict:

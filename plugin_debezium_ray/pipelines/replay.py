@@ -121,10 +121,11 @@ class ReplayJob:
 
     def run(
         self,
-        envelopes: "ray.data.Dataset",
+        envelopes: "ray.data.Dataset | None",
         *,
         snapshot: "ray.data.Dataset | None" = None,
         ddl_source: "ray.data.Dataset | bool | None" = None,
+        _pre_applied: "ray.data.Dataset | None" = None,
     ) -> ReplayResult:
         """One batch capture: restore state → schema replay → apply →
         atomic commit.  Idempotent: rerunning with the same envelopes
@@ -142,6 +143,21 @@ class ReplayJob:
         ledger = self.ckpt.ledger() if parent else {}
         prior_paths = self.ckpt.bucket_paths() if parent else {}
         version = (int(parent["version"]) + 1) if parent else 1
+
+        if _pre_applied is not None:
+            # pipelined-segment path: projection/pre-reduce already ran
+            # (run_segments_pipelined) under the checkpoint-time registry
+            # snapshot; ledger safety holds because BucketMerge re-checks
+            # the ledger per bucket (defense-in-depth, §7.4 #1)
+            reg = (
+                SchemaRegistry.from_snapshot(parent["schema"])
+                if (parent or {}).get("schema")
+                else SchemaRegistry([])
+            )
+            return self._merge_commit(
+                _pre_applied, reg, version, parent, ledger, prior_paths,
+                t0, 0.0,
+            )
 
         # schema-history replay over the tiny DDL sub-stream (ST3)
         base_fields = [
@@ -233,7 +249,25 @@ class ReplayJob:
         applied = ds.map_batches(
             proj, batch_format="pyarrow", batch_size=cfg.batch_size
         )
+        return self._merge_commit(
+            applied, reg, version, parent, ledger, prior_paths, t0, t_registry
+        )
 
+    def _merge_commit(
+        self,
+        applied: "ray.data.Dataset",
+        reg: SchemaRegistry,
+        version: int,
+        parent: dict | None,
+        ledger: dict,
+        prior_paths: dict,
+        t0: float,
+        t_registry: float,
+    ) -> ReplayResult:
+        """The shuffle+merge+commit tail of one capture: ONE hash
+        shuffle (groupby bucket), per-bucket merge into prior state,
+        atomic manifest commit."""
+        cfg = self.cfg
         data_dir = os.path.join(self.table_dir, "data")
         merge = BucketMerge(
             cfg.key_cols,
@@ -347,6 +381,70 @@ class ReplayJob:
                 break
             out.append(self.run(g, **kw))
         return out
+
+    def run_segments_pipelined(
+        self,
+        segment_groups: list["ray.data.Dataset"],
+        *,
+        snapshot: "ray.data.Dataset | None" = None,
+        prepare_ahead: int = 2,
+    ) -> list[ReplayResult]:
+        """Software-pipelined ON_EACH_BATCH replay: the decode+pre-reduce
+        of segment N+1 runs (materializes) WHILE segment N's shuffle+
+        merge+commit executes — hiding the map phase behind the reduce
+        phase, smoothing the utilization dip at the sort barrier that a
+        monolithic run shows.
+
+        Preconditions (same log-tail contract as ``run_segments`` plus
+        one): segments are disjoint ascending LSN ranges, and the stream
+        carries NO DDL (segment N's schema changes can't influence the
+        already-running decode of N+1 — pass DDL-bearing streams through
+        ``run_segments`` instead).  Ledger idempotence still holds: the
+        merge stage re-checks the per-bucket high-water mark even though
+        the early decode skipped the upstream ledger pre-filter."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.cfg
+        parent = self.ckpt.restore()
+        if (parent or {}).get("schema"):
+            reg = SchemaRegistry.from_snapshot(parent["schema"])
+        else:
+            base_fields = [
+                (f.name, str(f.type))
+                for f in payload_fields_of(_env_schema(segment_groups[0]))
+            ]
+            reg = SchemaRegistry(base_fields)
+        proj = project_for_apply(
+            cfg.key_cols,
+            cfg.num_buckets,
+            ledger=self.ckpt.ledger() if parent else {},
+            max_lsn=cfg.max_lsn,
+            renames=reg.rename_map(),
+            added_columns=reg.added_columns(),
+        )
+
+        def prepare(g: "ray.data.Dataset") -> "ray.data.Dataset":
+            return g.map_batches(
+                proj, batch_format="pyarrow", batch_size=cfg.batch_size
+            ).materialize()
+
+        groups: list["ray.data.Dataset"] = list(segment_groups)
+        if snapshot is not None and parent is None:
+            groups = [snapshot, *groups]
+
+        results: list[ReplayResult] = []
+        with ThreadPoolExecutor(max_workers=max(1, prepare_ahead)) as pool:
+            futs = {
+                i: pool.submit(prepare, groups[i])
+                for i in range(min(prepare_ahead, len(groups)))
+            }
+            for i in range(len(groups)):
+                prepared = futs.pop(i).result()
+                nxt = i + prepare_ahead
+                if nxt < len(groups):
+                    futs[nxt] = pool.submit(prepare, groups[nxt])
+                results.append(self.run(None, _pre_applied=prepared))
+        return results
 
     # ------------------------------------------------------------ poll
 

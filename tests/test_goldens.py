@@ -1,0 +1,59 @@
+"""Golden row-set pins for the rows-only driver queries (VERDICT r1 #2):
+langid / minhash / simhash / embedding dedup have no SQL oracle, so their
+exact sf0.001 outputs are committed as goldens — any drift (intentional
+or not) shows up here.  Regenerate via ``python tools/gen_goldens.py``.
+"""
+
+import json
+import os
+
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.json")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated (tools/gen_goldens.py)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _queries():
+    import __ray_entry__ as E
+
+    return E.queries()
+
+
+def test_langid_golden():
+    want = _golden("text_langid")
+    out = _queries()["text_langid"](SF_DIR).to_pandas()
+    got = sorted(map(list, zip(out["doc_id"].tolist(),
+                               out["lang_pred"].tolist())))
+    assert got == want
+
+
+def test_minhash_survivors_golden():
+    want = _golden("dedup_minhash")
+    out = _queries()["dedup_minhash"](SF_DIR).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == want
+
+
+def test_simhash_pairs_golden():
+    want = [list(map(int, p)) for p in _golden("dedup_simhash")]
+    out = _queries()["dedup_simhash"](SF_DIR)
+    got = sorted(map(list, out.itertuples(index=False)))
+    assert got == want
+
+
+def test_embedding_pairs_golden():
+    want = [list(map(int, p)) for p in _golden("dedup_embedding")]
+    out = _queries()["dedup_embedding"](SF_DIR)
+    got = sorted(map(list, out.itertuples(index=False)))
+    assert got == want
