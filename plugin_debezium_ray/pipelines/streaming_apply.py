@@ -1,0 +1,274 @@
+"""Streaming actor-pool apply — the barrier-free merge path.
+
+The default apply (`ReplayJob.run`) routes events to buckets with ONE
+sort-based ``groupby`` — correct and spill-friendly, but the sort is a
+barrier: no merge work starts until every decode task finishes, and
+utilization dips at every commit boundary.
+
+This module implements the architecture SURVEY.md §7.1 sketches
+directly: a pool of ``MergeShard`` **actors**, each owning a contiguous
+bucket range.  Decode tasks (plain ``map_batches``) pre-reduce their
+batch and push each shard's slice to it **as the stream flows** — no
+all-to-all barrier, no sort.  Correctness rests on LWW being
+order-independent: the winner per key is the max ``(lsn, seq)`` event,
+so shards may receive batches in any order, from any segment, and
+retried tasks may re-send (duplicate (lsn, seq) events collapse in the
+winner reduction; events at-or-below the ledger are dropped at
+finalize).  Shards compact incrementally (winner-reduce their
+accumulated slices) whenever buffered rows exceed a threshold, so
+steady-state memory per shard is O(its share of live keys), not O(its
+share of the stream).
+
+Finalize reuses ``BucketMerge`` per bucket — identical deterministic
+bucket files, fingerprints and manifest as the sort path, so resume /
+rerun / read_table are interchangeable between the two paths.
+
+At cluster scale each shard is one actor (pin ``num_shards`` ≈ total
+cores; Ray spreads them across nodes); backpressure comes from decode
+tasks awaiting their pushes before finishing a batch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from plugin_debezium_ray.config import CaptureConfig
+from plugin_debezium_ray.stages.apply import (
+    BUCKET_COL,
+    WEIGHT_COL,
+    BucketMerge,
+    _composite_key,
+    _winners_and_weights,
+    project_for_apply,
+)
+from plugin_debezium_ray.state.checkpoint import build_manifest
+
+
+@ray.remote
+class MergeShard:
+    """Owns buckets ``[lo, hi)``: accumulates pre-reduced event slices,
+    compacts with the LWW winner reduction when buffered rows grow, and
+    at finalize merges each bucket with its prior lake state via the
+    same ``BucketMerge`` used by the sort path."""
+
+    def __init__(self, key_cols: tuple[str, ...], lo: int, hi: int,
+                 compact_rows: int = 400_000):
+        self.key_cols = tuple(key_cols)
+        self.lo, self.hi = lo, hi
+        self.tables: list[pa.Table] = []
+        self.buffered = 0
+        self.events_seen = 0
+        self.compact_rows = compact_rows
+
+    def ingest(self, t: pa.Table) -> int:
+        if len(t):
+            self.tables.append(t)
+            self.buffered += len(t)
+            if WEIGHT_COL in t.column_names:
+                import pyarrow.compute as pc
+
+                self.events_seen += int(pc.sum(t[WEIGHT_COL]).as_py() or 0)
+            else:
+                self.events_seen += len(t)
+            if self.buffered > self.compact_rows:
+                self._compact()
+        return 0
+
+    def _compact(self) -> None:
+        merged = pa.concat_tables(self.tables, promote_options="default")
+        key = _composite_key(merged, self.key_cols)
+        win, _ = _winners_and_weights(
+            key, merged["lsn"].to_numpy(), merged["seq"].to_numpy()
+        )
+        # winners carry the SUM of subsumed rows' weights (rows arriving
+        # here are already pre-reduced, so counts would under-report)
+        codes, _ = pd.factorize(key, use_na_sentinel=False)
+        w = merged[WEIGHT_COL].to_numpy()
+        weights = np.bincount(codes, weights=w)[codes[win]].astype(np.int64)
+        out = merged.take(pa.array(win))
+        i = out.column_names.index(WEIGHT_COL)
+        out = out.set_column(i, WEIGHT_COL, pa.array(weights, type=pa.int64()))
+        self.tables = [out]
+        self.buffered = len(out)
+
+    def finalize(
+        self,
+        out_dir: str,
+        commit_id: str,
+        *,
+        prior_paths: dict[int, str],
+        prior_fingerprints: dict[int, str],
+        ledger: dict[int, tuple[int, int]],
+        fingerprint_col: str | None,
+    ) -> list[dict]:
+        """Merge each owned bucket with prior state, write bucket files,
+        return the stats rows (same schema as the sort path)."""
+        if not self.tables:
+            return []
+        merged = pa.concat_tables(self.tables, promote_options="default")
+        self.tables = []
+        bm = BucketMerge(
+            self.key_cols,
+            out_dir,
+            commit_id,
+            prior_paths=prior_paths,
+            prior_fingerprints=prior_fingerprints,
+            ledger=ledger,
+            fingerprint_col=fingerprint_col,
+        )
+        buckets = merged[BUCKET_COL].to_numpy()
+        stats_rows: list[dict] = []
+        for b in np.unique(buckets):
+            group = merged.filter(pa.array(buckets == b))
+            stats = bm(group)  # per-bucket merge + deterministic file
+            stats_rows.append(
+                {c: stats[c][0].as_py() for c in stats.column_names}
+            )
+        return stats_rows
+
+
+def run_streaming(
+    job,
+    envelopes: "ray.data.Dataset",
+    *,
+    snapshot: "ray.data.Dataset | None" = None,
+    num_shards: int | None = None,
+    decode_concurrency: int | None = None,
+    compact_rows: int = 400_000,
+) -> "object":
+    """Barrier-free replay: decode tasks push pre-reduced slices to the
+    shard actors while the stream flows; ONE atomic commit at the end.
+
+    ``job`` is a ``ReplayJob`` (layout / checkpoint / config reuse); the
+    result is a ``ReplayResult`` interchangeable with ``job.run(...)``.
+    """
+    from plugin_debezium_ray.pipelines.replay import ReplayResult
+    from plugin_debezium_ray.state.schema_registry import SchemaRegistry
+    from plugin_debezium_ray.envelope import payload_fields_of
+
+    t0 = time.monotonic()
+    cfg: CaptureConfig = job.cfg
+    ckpt = job.ckpt
+    parent = ckpt.restore()
+    ledger = ckpt.ledger() if parent else {}
+    prior_paths = ckpt.bucket_paths() if parent else {}
+    prior_fps = ckpt.bucket_fingerprints() if parent else {}
+    version = (int(parent["version"]) + 1) if parent else 1
+
+    if (parent or {}).get("schema"):
+        reg = SchemaRegistry.from_snapshot(parent["schema"])
+    else:
+        sch = envelopes.schema()
+        fields = pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        )
+        reg = SchemaRegistry(
+            [(f.name, str(f.type)) for f in payload_fields_of(fields)]
+        )
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if num_shards is None:
+        num_shards = max(2, min(cfg.num_buckets, cpus))
+    per = (cfg.num_buckets + num_shards - 1) // num_shards
+    # shards are lightweight during ingest; fractional CPU keeps slots
+    # free for decode until finalize needs them
+    shards = [
+        MergeShard.options(num_cpus=0.5).remote(
+            cfg.key_cols, lo, min(lo + per, cfg.num_buckets),
+            compact_rows=compact_rows,
+        )
+        for lo in range(0, cfg.num_buckets, per)
+    ]
+
+    proj = project_for_apply(
+        cfg.key_cols,
+        cfg.num_buckets,
+        ledger=ledger,
+        max_lsn=cfg.max_lsn,
+        renames=reg.rename_map(),
+        added_columns=reg.added_columns(),
+    )
+    shard_of = np.arange(cfg.num_buckets) // per
+
+    def decode_and_push(t: pa.Table) -> pa.Table:
+        out = proj(t)
+        n = len(out)
+        if n:
+            buckets = out[BUCKET_COL].to_numpy()
+            sid = shard_of[buckets]
+            order = np.argsort(sid, kind="stable")
+            sorted_sid = sid[order]
+            cuts = np.searchsorted(
+                sorted_sid, np.arange(len(shards) + 1), side="left"
+            )
+            refs = []
+            for s in range(len(shards)):
+                if cuts[s + 1] > cuts[s]:
+                    sl = out.take(pa.array(order[cuts[s] : cuts[s + 1]]))
+                    refs.append(shards[s].ingest.remote(sl))
+            # await pushes: the task doesn't complete until its rows are
+            # owned by the shards (backpressure + retry safety)
+            ray.get(refs)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    ds = envelopes
+    if cfg.max_records is not None:
+        ds = ds.limit(cfg.max_records)
+    if snapshot is not None and parent is None:
+        ds = snapshot.union(ds)
+    map_kw = {}
+    if decode_concurrency is not None:
+        map_kw["concurrency"] = decode_concurrency
+    ds.map_batches(
+        decode_and_push, batch_format="pyarrow", batch_size=cfg.batch_size,
+        **map_kw,
+    ).sum("n")  # drives the stream; returns one scalar
+
+    data_dir = os.path.join(job.table_dir, "data")
+    commit_id = f"v{version:06d}"
+    stats_refs = [
+        s.finalize.remote(
+            data_dir,
+            commit_id,
+            prior_paths=prior_paths,
+            prior_fingerprints=prior_fps,
+            ledger=ledger,
+            fingerprint_col=job.fingerprint_col,
+        )
+        for s in shards
+    ]
+    stats_rows = [r for rows in ray.get(stats_refs) for r in rows]
+    for s in shards:
+        ray.kill(s)
+
+    manifest = build_manifest(
+        version=version,
+        connector_id=job.connector_id,
+        stats_rows=stats_rows,
+        parent=parent,
+        schema_snapshot=reg.snapshot(),
+        extra_metrics={
+            "wall_seconds": time.monotonic() - t0,
+            "streaming_apply": True,
+            "num_shards": len(shards),
+        },
+    )
+    mpath = ckpt.save(manifest)
+    return ReplayResult(
+        version,
+        int(manifest["metrics"]["events_applied"]),
+        int(manifest["metrics"]["events_seen"]),
+        int(manifest["metrics"]["buckets_touched"]),
+        mpath,
+        job.table_dir,
+        time.monotonic() - t0,
+        metrics=manifest["metrics"],
+    )
