@@ -192,7 +192,9 @@ def q_cdc_bounded_replay(sf_dir: str):
 
 def q_cdc_lww_apply(sf_dir: str):
     """M1-M9 + ST1/2.5/2.6: full keyed LWW apply of the event stream —
-    final table state (upserts minus deletes, ordered by lsn per key)."""
+    final table state (upserts minus deletes, ordered by lsn per key).
+    Runs the STREAMING actor-pool engine (`run_streaming`, the headline
+    apply path — byte-identical lake layout to the sort path)."""
     env = _events_envelopes(sf_dir)
     with tempfile.TemporaryDirectory(prefix="lww_", dir="/tmp") as d:
         job = ReplayJob(
@@ -200,7 +202,7 @@ def q_cdc_lww_apply(sf_dir: str):
             os.path.join(d, "lake"),
             fingerprint_col="event_type",
         )
-        job.run(env, ddl_source=False)  # table-derived stream has no DDL
+        job.run_streaming(env)  # table-derived stream has no DDL
         tab = job.read_table().to_pandas()
     return tab[["user_id", "lsn", "event_type", "value"]]
 

@@ -261,11 +261,15 @@ def kmeans_fit(
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=n_clusters, replace=False)]
 
-    for _ in range(iters):
-        cref = ray.put(centroids)
+    class Partial:
+        """Actor-pool stage: centroids fetched ONCE per actor in
+        __init__ (state-loaded-once symmetry with the other stages)."""
 
-        def partial(t: pa.Table) -> pa.Table:
-            c = ray.get(cref)
+        def __init__(self, cref):
+            self.c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            c = self.c
             vecs = _stack(t[vec_col])
             assign = np.argmin(
                 ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
@@ -282,7 +286,14 @@ def kmeans_fit(
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        parts = ds.map_batches(
+            Partial,
+            fn_constructor_args=(cref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ).take_all()
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids), dtype=np.int64)
         for r in parts:

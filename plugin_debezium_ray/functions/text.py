@@ -104,27 +104,39 @@ class LangId:
         self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        s = pd.Series(t[self.text_col].to_pandas())
-        langs = np.empty(len(s), dtype=object)
+        """Vectorized: one findall pass per row (pandas str op), then
+        explode + per-language ``isin`` + one groupby-sum — no per-word
+        Python dict probing."""
+        s = pd.Series(t[self.text_col].to_pandas()).reset_index(drop=True)
+        langs = np.full(len(s), None, dtype=object)
         scores = np.zeros(len(s))
-        for i, text in enumerate(s):
-            if text is None:
-                langs[i] = None
-                continue
-            if self.cjk_re.search(text):
-                langs[i], scores[i] = "zh", 1.0
-                continue
-            words = [w.lower() for w in self.word_re.findall(text)[:200]]
-            if not words:
-                langs[i], scores[i] = "und", 0.0
-                continue
-            best, best_hits = "und", 0
-            for lang, table in self.tables.items():
-                hits = sum(1 for w in words if w in table)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs[i] = best
-            scores[i] = best_hits / len(words)
+        notnull = s.notna()
+        cjk = notnull & s.str.contains(self.cjk_re, na=False)
+        langs[cjk.to_numpy()] = "zh"
+        scores[cjk.to_numpy()] = 1.0
+        rest = notnull & ~cjk
+        if rest.any():
+            words = s[rest].str.findall(self.word_re).str[:200]
+            nw = words.str.len()
+            empty = nw == 0
+            langs[words.index[empty].to_numpy()] = "und"
+            wl = words[~empty]
+            if len(wl):
+                ex = wl.explode().str.lower()
+                hits = pd.DataFrame(
+                    {lang: ex.isin(tbl) for lang, tbl in self.tables.items()},
+                    index=ex.index,
+                ).groupby(level=0).sum()
+                # strict-improvement tie-break of the row loop == first
+                # max in insertion order == idxmax column order
+                best = hits.idxmax(axis=1)
+                best_hits = hits.max(axis=1)
+                und = (best_hits == 0).to_numpy()
+                idx = best.index.to_numpy()
+                langs[idx] = np.where(und, "und", best.to_numpy())
+                scores[idx] = np.where(
+                    und, 0.0, best_hits.to_numpy() / nw[~empty].to_numpy()
+                )
         out = t.append_column("lang_pred", pa.array(langs, type=pa.string()))
         return out.append_column("lang_score", pa.array(scores))
 

@@ -104,17 +104,21 @@ class EnvelopeDecoder:
                 pc.fill_null(src.field("table"), ""),
                 ".",
             )
-            names = full.to_pylist()
-            keep = np.array(
-                [
-                    (not self.includes or any(r.search(x or "") for r in self.includes))
-                    and not (
-                        self.excludes and any(r.search(x or "") for r in self.excludes)
-                    )
-                    for x in names
-                ]
-            )
-            mask = pc.and_(mask, pa.array(keep))
+            # vectorized include/exclude: one Arrow regex kernel per
+            # pattern, OR-folded (`AbstractDebeziumTask.java:583-589`)
+            full = pc.fill_null(full, "")
+            if self.includes:
+                inc = None
+                for r in self.includes:
+                    m = pc.match_substring_regex(full, r.pattern)
+                    inc = m if inc is None else pc.or_(inc, m)
+                mask = pc.and_(mask, inc)
+            if self.excludes:
+                exc = None
+                for r in self.excludes:
+                    m = pc.match_substring_regex(full, r.pattern)
+                    exc = m if exc is None else pc.or_(exc, m)
+                mask = pc.and_(mask, pc.invert(exc))
         if cfg.max_lsn is not None:
             mask = pc.and_(mask, pc.less_equal(t["lsn"], cfg.max_lsn).combine_chunks())
         return t.filter(mask)
