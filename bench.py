@@ -176,6 +176,61 @@ def bench_cdc_decode(sf_dir: str) -> dict:
     return {"sec": dt, "events": n, "eps": n / dt}
 
 
+def ensure_doc_corpus(n_docs: int = 50_000, seed: int = 9) -> str:
+    """Deterministic document corpus with planted near-dup clusters
+    (every 5th doc pair differs by 3 tokens) — the testdata documents
+    table is only 500 rows, too small to exercise the distributed dedup
+    path; this gives it real work."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(CACHE, f"docs_{n_docs}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(20_000)], dtype=object)
+    texts = []
+    base_tokens = None
+    for d in range(n_docs):
+        if d % 5 == 1 and base_tokens is not None:
+            toks = base_tokens.copy()
+            idx = rng.integers(0, len(toks), size=3)
+            toks[idx] = vocab[rng.integers(0, len(vocab), size=3)]
+        else:
+            toks = vocab[rng.integers(0, len(vocab), size=int(rng.integers(80, 200)))]
+            base_tokens = toks
+        texts.append(" ".join(toks))
+    os.makedirs(CACHE, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                  "text": pa.array(texts)}),
+        path,
+    )
+    return path
+
+
+def bench_dedup_minhash_large(n_docs: int = 50_000) -> dict:
+    """MinHash near-dedup on a 50k-doc corpus, FORCED onto the fully
+    distributed tail (small_path_max_pairs=0: verify joins + distributed
+    connected components + left_anti drop — no driver shortcuts)."""
+    import ray.data
+
+    from plugin_debezium_ray.functions.dedup import minhash_dedup
+
+    path = ensure_doc_corpus(n_docs)
+    ds = ray.data.read_parquet(path)
+    t0 = time.monotonic()
+    kept = minhash_dedup(
+        ds, threshold=0.7, num_perm=64, bands=16, k=3,
+        small_path_max_pairs=0,
+    )
+    survivors = kept.count()
+    dt = time.monotonic() - t0
+    return {"sec": dt, "docs": n_docs, "survivors": survivors,
+            "docs_per_sec": n_docs / dt}
+
+
 def _suite(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as E
 
@@ -222,6 +277,8 @@ def run_bench() -> dict:
     decode = bench_cdc_decode(SF_DIR)
     queries["cdc_decode"] = round(decode["sec"], 3)
     queries.update(_suite(SF_DIR))
+    dml = bench_dedup_minhash_large()
+    queries["dedup_minhash_50k_distributed"] = round(dml["sec"], 3)
 
     result = {
         "metric": "cdc-replay-and-operator-suite wall time",

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+
 
 
 def _join_parts(requested: int) -> int:
@@ -290,15 +290,28 @@ def minhash_lsh_pairs_ds(
 def distinct_pairs(
     pair_ds: "ray.data.Dataset", *, num_partitions: int = 16
 ) -> "ray.data.Dataset":
-    """Distributed distinct on (a, b) via a tiny count aggregate (pairs
-    emitted by several bands/buckets collapse to one edge)."""
+    """Distributed distinct on (a, b): ONE coarse-partition sort shuffle
+    + vectorized in-partition drop_duplicates (pairs emitted by several
+    bands/buckets collapse to one edge).  A ``groupby().aggregate`` here
+    would spin up a hash-aggregator actor pool per call — measured 12 s
+    of pure startup latency on an 88k-row pair set."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["a", "b"]], index=False)
+        df = df.copy()
+        df["_part"] = (h % np.uint64(num_partitions)).astype(np.int32)
+        return df
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns=["_part"])
+
     return (
-        pair_ds.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+        pair_ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(dedup_part, batch_format="pandas")
         # launder schema-less empty blocks out of the sort-based groupby
         # (they poison a downstream hash join — Ray 2.49 behavior)
-        .repartition(num_partitions)
+        .repartition(min(num_partitions, 16))
     )
 
 
@@ -394,6 +407,33 @@ def connected_components_distributed(
     convergence)."""
     num_partitions = _join_parts(num_partitions)
 
+    def _min_root(ds_in: "ray.data.Dataset", node_col: str,
+                  val_col: str) -> "ray.data.Dataset":
+        """min(val) per node via ONE coarse-partition sort shuffle +
+        vectorized in-partition pandas groupby-min (a built-in
+        ``aggregate(Min)`` pays a hash-aggregator actor-pool startup per
+        ROUND of the loop — the dominant cost at small edge counts)."""
+
+        def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_part"] = (
+                pd.util.hash_array(df[node_col].to_numpy())
+                % np.uint64(num_partitions)
+            ).astype(np.int32)
+            return df
+
+        def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(node_col, sort=False, as_index=False)[
+                val_col
+            ].min()
+
+        return (
+            ds_in.map_batches(add_part, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(reduce_part, batch_format="pandas")
+            .repartition(num_partitions)
+        )
+
     def edges_both(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -421,8 +461,14 @@ def connected_components_distributed(
         )
 
     labels = (
-        edges.groupby("node")
-        .aggregate(Min("peer", alias_name="root"))
+        _min_root(
+            edges.map_batches(
+                lambda t: t.rename_columns(["node", "root"]),
+                batch_format="pyarrow",
+            ),
+            "node",
+            "root",
+        )
         .map_batches(clamp_self, batch_format="pyarrow")
         .repartition(num_partitions)
         .materialize()
@@ -448,10 +494,7 @@ def connected_components_distributed(
             batch_format="pyarrow",
         )
         labels = (
-            labels.union(peer_roots)
-            .groupby("node")
-            .aggregate(Min("root", alias_name="root"))
-            .repartition(num_partitions)
+            _min_root(labels.union(peer_roots), "node", "root")
             .materialize()
         )
         s = labels.sum("root")

@@ -452,6 +452,7 @@ class ReplayJob:
         *,
         snapshot: "ray.data.Dataset | None" = None,
         num_shards: int | None = None,
+        ddl_source: "ray.data.Dataset | bool | None" = False,
         **kw,
     ) -> "ReplayResult":
         """Barrier-free actor-pool apply (SURVEY.md §7.1's merge-actor
@@ -459,12 +460,14 @@ class ReplayJob:
         bucket-range shard actors while the scan runs — no sort barrier,
         ONE atomic commit.  Identical lake layout / manifest / resume
         semantics as ``run`` (LWW is order-independent, so shards accept
-        events in any arrival order).  See
+        events in any arrival order); schema-history DDL replays before
+        the stream when ``ddl_source`` is given.  See
         ``pipelines/streaming_apply.py``."""
         from plugin_debezium_ray.pipelines.streaming_apply import run_streaming
 
         return run_streaming(
-            self, envelopes, snapshot=snapshot, num_shards=num_shards, **kw
+            self, envelopes, snapshot=snapshot, num_shards=num_shards,
+            ddl_source=ddl_source, **kw
         )
 
     # ------------------------------------------------------------ poll

@@ -140,6 +140,7 @@ def run_streaming(
     envelopes: "ray.data.Dataset",
     *,
     snapshot: "ray.data.Dataset | None" = None,
+    ddl_source: "ray.data.Dataset | bool | None" = False,
     num_shards: int | None = None,
     decode_concurrency: int | None = None,
     compact_rows: int = 400_000,
@@ -149,9 +150,17 @@ def run_streaming(
 
     ``job`` is a ``ReplayJob`` (layout / checkpoint / config reuse); the
     result is a ``ReplayResult`` interchangeable with ``job.run(...)``.
-    """
+
+    ``ddl_source`` mirrors ``ReplayJob.run``: a column-pruned Dataset to
+    replay schema-history DDL from BEFORE the stream applies (ST3);
+    ``False`` (default) skips the scan for DDL-free sources; ``None``
+    derives from ``envelopes`` (un-pruned — prefer passing the pruned
+    read)."""
     from plugin_debezium_ray.pipelines.replay import ReplayResult
-    from plugin_debezium_ray.state.schema_registry import SchemaRegistry
+    from plugin_debezium_ray.state.schema_registry import (
+        SchemaRegistry,
+        registry_from_envelopes,
+    )
     from plugin_debezium_ray.envelope import payload_fields_of
 
     t0 = time.monotonic()
@@ -163,15 +172,21 @@ def run_streaming(
     prior_fps = ckpt.bucket_fingerprints() if parent else {}
     version = (int(parent["version"]) + 1) if parent else 1
 
-    if (parent or {}).get("schema"):
-        reg = SchemaRegistry.from_snapshot(parent["schema"])
-    else:
-        sch = envelopes.schema()
-        fields = pa.schema(
-            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+    sch = envelopes.schema()
+    fields = pa.schema([pa.field(n, t) for n, t in zip(sch.names, sch.types)])
+    base_fields = [(f.name, str(f.type)) for f in payload_fields_of(fields)]
+    if ddl_source is False:
+        reg = (
+            SchemaRegistry.from_snapshot(parent["schema"])
+            if (parent or {}).get("schema")
+            else SchemaRegistry(base_fields)
         )
-        reg = SchemaRegistry(
-            [(f.name, str(f.type)) for f in payload_fields_of(fields)]
+    else:
+        reg = registry_from_envelopes(
+            ddl_source if ddl_source is not None else envelopes,
+            base_fields,
+            prior_snapshot=(parent or {}).get("schema"),
+            max_lsn=cfg.max_lsn,
         )
 
     cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -101,6 +101,31 @@ class TestStreamingApply:
         )
         assert _state(a) == _state(b)
 
+    def test_schema_evolution_via_ddl_source(self, tmp_path):
+        """DDL replays through the streaming path when ddl_source is
+        given (same ST3 contract as the sort path)."""
+        from plugin_debezium_ray.sources.binlog import ddl_events_table
+
+        ddl = ray.data.from_arrow(
+            ddl_events_table(
+                [
+                    (0, {"action": "add_column", "name": "license",
+                         "type": "string", "default": "unknown"}),
+                    (0, {"action": "rename_column", "from": "lang",
+                         "to": "language"}),
+                ]
+            )
+        )
+        env = binlog(N_EVENTS, N_KEYS, seed=SEED).union(ddl)
+        job = ReplayJob(CaptureConfig(num_buckets=8), str(tmp_path))
+        job.run_streaming(
+            env, snapshot=snapshot_envelopes(N_KEYS, seed=SEED),
+            ddl_source=env,
+        )
+        tab = job.read_table().to_pandas()
+        assert "language" in tab.columns and "lang" not in tab.columns
+        assert set(tab["license"]) == {"unknown"}
+
     def test_compaction_is_lossless(self, tmp_path):
         """A tiny compact threshold forces many in-flight winner
         reductions (weights must SUM through compaction, not recount);
