@@ -67,8 +67,19 @@ class MergeShard:
         self.buffered = 0
         self.events_seen = 0
         self.compact_rows = compact_rows
+        self.seen_pushes: set[int] = set()
 
-    def ingest(self, t: pa.Table) -> int:
+    def ingest(self, t: pa.Table, push_id: int | None = None) -> int:
+        """Accept one pre-reduced slice.  ``push_id`` is a deterministic
+        content hash of the slice's (lsn, seq) set: a RETRIED decode task
+        re-sends identical slices, which are dropped here — exactly-once
+        accounting under Ray task retries (SURVEY.md §7.4 #1; distinct
+        slices can never collide because each (lsn, seq) is consumed
+        once per run)."""
+        if push_id is not None:
+            if push_id in self.seen_pushes:
+                return 0
+            self.seen_pushes.add(push_id)
         if len(t):
             self.tables.append(t)
             self.buffered += len(t)
@@ -81,6 +92,15 @@ class MergeShard:
             if self.buffered > self.compact_rows:
                 self._compact()
         return 0
+
+    def counters(self) -> dict:
+        """ST6-style shard metrics (events seen, distinct pushes,
+        buffered rows)."""
+        return {
+            "events_seen": self.events_seen,
+            "pushes": len(self.seen_pushes),
+            "buffered": self.buffered,
+        }
 
     def _compact(self) -> None:
         merged = pa.concat_tables(self.tables, promote_options="default")
@@ -224,11 +244,21 @@ def run_streaming(
             cuts = np.searchsorted(
                 sorted_sid, np.arange(len(shards) + 1), side="left"
             )
+            lsn_np = out["lsn"].to_numpy()
+            seq_np = out["seq"].to_numpy()
+            slice_hash = pd.util.hash_array(
+                lsn_np.astype(np.uint64) * np.uint64(1_000_003)
+                + seq_np.astype(np.uint64)
+            )
             refs = []
             for s in range(len(shards)):
                 if cuts[s + 1] > cuts[s]:
-                    sl = out.take(pa.array(order[cuts[s] : cuts[s + 1]]))
-                    refs.append(shards[s].ingest.remote(sl))
+                    idx = order[cuts[s] : cuts[s + 1]]
+                    sl = out.take(pa.array(idx))
+                    # content-addressed push id: XOR of the slice's
+                    # (lsn, seq) hashes — identical on a task retry
+                    pid = int(np.bitwise_xor.reduce(slice_hash[idx])) ^ len(idx)
+                    refs.append(shards[s].ingest.remote(sl, pid))
             # await pushes: the task doesn't complete until its rows are
             # owned by the shards (backpressure + retry safety)
             ray.get(refs)

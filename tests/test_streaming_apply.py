@@ -101,6 +101,38 @@ class TestStreamingApply:
         )
         assert _state(a) == _state(b)
 
+    def test_retried_push_is_deduped(self):
+        """A retried decode task re-sends identical slices; the shard's
+        content-addressed push dedup must drop them (exactly-once
+        events_seen accounting under Ray task retries)."""
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray as _ray
+
+        from plugin_debezium_ray.pipelines.streaming_apply import MergeShard
+
+        shard = MergeShard.remote(("repo", "path"), 0, 4)
+        t = pa.table(
+            {
+                "lsn": pa.array([1, 2], pa.int64()),
+                "seq": pa.array([0, 0], pa.int64()),
+                "deleted": pa.array([False, False]),
+                "repo": ["r1", "r1"],
+                "path": ["a", "b"],
+                "content": ["x", "y"],
+                "_bucket": pa.array([0, 0], pa.int32()),
+                "_weight": pa.array([3, 4], pa.int64()),
+            }
+        )
+        pid = 12345
+        _ray.get(shard.ingest.remote(t, pid))
+        _ray.get(shard.ingest.remote(t, pid))  # the retry
+        c = _ray.get(shard.counters.remote())
+        assert c["events_seen"] == 7  # 3 + 4, counted ONCE
+        assert c["pushes"] == 1 and c["buffered"] == 2
+        _ray.kill(shard)
+
     def test_schema_evolution_via_ddl_source(self, tmp_path):
         """DDL replays through the streaming path when ddl_source is
         given (same ST3 contract as the sort path)."""
