@@ -331,12 +331,21 @@ class ReplayJob:
         wal_paths: str | list[str],
         *,
         snapshot_paths: str | list[str] | None = None,
+        streaming: bool = False,
+        override_num_blocks: int | None = None,
         **kw,
     ) -> ReplayResult:
         """Convenience: replay Parquet WAL segments by path, with the
         DDL scan automatically column-pruned at the read (the projection
-        the Ray 2.49 planner won't derive itself)."""
-        env = ray.data.read_parquet(wal_paths)
+        the Ray 2.49 planner won't derive itself).  ``streaming=True``
+        routes through the barrier-free actor-pool apply
+        (``run_streaming``) — the fast path for DDL-light streams."""
+        read_kw = (
+            {"override_num_blocks": override_num_blocks}
+            if override_num_blocks
+            else {}
+        )
+        env = ray.data.read_parquet(wal_paths, **read_kw)
         ddl = ray.data.read_parquet(
             wal_paths, columns=["lsn", "seq", "op", "ddl"]
         )
@@ -345,6 +354,8 @@ class ReplayJob:
             if snapshot_paths is not None
             else None
         )
+        if streaming:
+            return self.run_streaming(env, snapshot=snap, ddl_source=ddl, **kw)
         return self.run(env, snapshot=snap, ddl_source=ddl, **kw)
 
     def run_segments(
