@@ -126,53 +126,18 @@ def replay_multi_table(
 # --------------------------------------------------- single-pass variant
 
 
-def replay_multi_table_single_pass(
-    envelopes: "ray.data.Dataset",
-    base_dir: str,
+def make_project_multi(
     config: CaptureConfig,
-    *,
-    connector_id: str | None = None,
-    fingerprint_col: str = "content",
-) -> dict[str, ReplayResult]:
-    """All tables in ONE pass over the WAL and ONE shared shuffle.
-
-    The per-stream loop of ``replay_multi_table`` re-reads the stream per
-    table; here the partition key becomes ``(stream, hash(key) % B)``, so
-    a single groupby routes every table's events to its merge groups —
-    the minimize-shuffles layout for many-table sources.  Per-stream
-    manifests/ledgers stay independent (commits are still per table,
-    folded from the shared stats output).
-
-    Constraint (as with the N-pass variant): all tables share one payload
-    struct schema in the envelope stream; DDL events are global.
-    """
-    import time
-
-    t0 = time.monotonic()
-    streams = discover_streams(
-        envelopes,
-        included=config.included_tables,
-        excluded=config.excluded_tables,
-    )
-    ckpts = {
-        s: CheckpointManager(os.path.join(base_dir, s)) for s in streams
-    }
-    parents = {s: ckpts[s].restore() for s in streams}
-    versions = {
-        s: (int(p["version"]) + 1) if p else 1 for s, p in parents.items()
-    }
-    ledgers = {s: ckpts[s].ledger() if parents[s] else {} for s in streams}
-    prior_paths = {
-        s: ckpts[s].bucket_paths() if parents[s] else {} for s in streams
-    }
-    prior_fps = {
-        s: ckpts[s].bucket_fingerprints() if parents[s] else {}
-        for s in streams
-    }
-
+    stream_set: set[str],
+    ledgers: dict[str, dict],
+):
+    """Shared multi-table projection: envelope batch → rows with
+    ``_stream``, payload, ``_bucket``, ``_weight`` — stream filter,
+    per-(stream, bucket) ledger filter and per-(stream, key) LWW
+    pre-reduce included.  Used by both the single-pass sort variant and
+    the streaming actor-pool variant."""
     key_cols = config.key_cols
     num_buckets = config.num_buckets
-    stream_set = set(streams)
 
     def project_multi(t: pa.Table) -> pa.Table:
         op = t["op"]
@@ -254,6 +219,60 @@ def replay_multi_table_single_pass(
         out = out.take(pa.array(win))
         return out.append_column(WEIGHT_COL, pa.array(weights, type=pa.int64()))
 
+    return project_multi
+
+
+
+
+
+def replay_multi_table_single_pass(
+    envelopes: "ray.data.Dataset",
+    base_dir: str,
+    config: CaptureConfig,
+    *,
+    connector_id: str | None = None,
+    fingerprint_col: str = "content",
+) -> dict[str, ReplayResult]:
+    """All tables in ONE pass over the WAL and ONE shared shuffle.
+
+    The per-stream loop of ``replay_multi_table`` re-reads the stream per
+    table; here the partition key becomes ``(stream, hash(key) % B)``, so
+    a single groupby routes every table's events to its merge groups —
+    the minimize-shuffles layout for many-table sources.  Per-stream
+    manifests/ledgers stay independent (commits are still per table,
+    folded from the shared stats output).
+
+    Constraint (as with the N-pass variant): all tables share one payload
+    struct schema in the envelope stream; DDL events are global.
+    """
+    import time
+
+    t0 = time.monotonic()
+    streams = discover_streams(
+        envelopes,
+        included=config.included_tables,
+        excluded=config.excluded_tables,
+    )
+    ckpts = {
+        s: CheckpointManager(os.path.join(base_dir, s)) for s in streams
+    }
+    parents = {s: ckpts[s].restore() for s in streams}
+    versions = {
+        s: (int(p["version"]) + 1) if p else 1 for s, p in parents.items()
+    }
+    ledgers = {s: ckpts[s].ledger() if parents[s] else {} for s in streams}
+    prior_paths = {
+        s: ckpts[s].bucket_paths() if parents[s] else {} for s in streams
+    }
+    prior_fps = {
+        s: ckpts[s].bucket_fingerprints() if parents[s] else {}
+        for s in streams
+    }
+
+    stream_set = set(streams)
+    key_cols = config.key_cols
+    project_multi = make_project_multi(config, stream_set, ledgers)
+
     applied = envelopes.map_batches(
         project_multi, batch_format="pyarrow", batch_size=config.batch_size
     )
@@ -303,6 +322,150 @@ def replay_multi_table_single_pass(
             parent=parents[s],
             schema_snapshot=prior_schema,
             extra_metrics={"wall_seconds": wall, "single_pass": True},
+        )
+        mpath = ckpts[s].save(manifest)
+        results[s] = ReplayResult(
+            versions[s],
+            int(manifest["metrics"]["events_applied"]),
+            int(manifest["metrics"]["events_seen"]),
+            int(manifest["metrics"]["buckets_touched"]),
+            mpath,
+            os.path.join(base_dir, s),
+            wall,
+            metrics=manifest["metrics"],
+        )
+    return results
+
+
+# --------------------------------------------------- streaming variant
+
+
+def replay_multi_table_streaming(
+    envelopes: "ray.data.Dataset",
+    base_dir: str,
+    config: CaptureConfig,
+    *,
+    connector_id: str | None = None,
+    fingerprint_col: str = "content",
+    num_shards: int | None = None,
+    compact_rows: int = 400_000,
+) -> dict[str, ReplayResult]:
+    """All tables in ONE streaming pass with NO shuffle barrier: the
+    multi-table analogue of ``ReplayJob.run_streaming``.
+
+    Decode tasks run the shared multi-table projection and push each
+    bucket-range slice (rows of ANY stream) to its ``MergeShard`` actor
+    while the scan flows; shards LWW-reduce on (stream, key) and at
+    finalize group by (stream, bucket), merging into each stream's OWN
+    lake with its own ledger/prior state.  Per-stream manifests commit
+    independently, exactly like the sort-based single pass (same layout,
+    interchangeable).
+
+    Constraint (as with the other variants): all tables share one payload
+    struct schema; DDL is not replayed in-pass (prior registry snapshots
+    carry forward)."""
+    import time
+
+    import ray
+
+    from plugin_debezium_ray.pipelines.streaming_apply import MergeShard
+
+    t0 = time.monotonic()
+    streams = discover_streams(
+        envelopes,
+        included=config.included_tables,
+        excluded=config.excluded_tables,
+    )
+    ckpts = {s: CheckpointManager(os.path.join(base_dir, s)) for s in streams}
+    parents = {s: ckpts[s].restore() for s in streams}
+    versions = {
+        s: (int(p["version"]) + 1) if p else 1 for s, p in parents.items()
+    }
+    ledgers = {s: ckpts[s].ledger() if parents[s] else {} for s in streams}
+    prior_paths = {
+        s: ckpts[s].bucket_paths() if parents[s] else {} for s in streams
+    }
+    prior_fps = {
+        s: ckpts[s].bucket_fingerprints() if parents[s] else {}
+        for s in streams
+    }
+    project_multi = make_project_multi(config, set(streams), ledgers)
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if num_shards is None:
+        num_shards = max(2, min(config.num_buckets, cpus))
+    per = (config.num_buckets + num_shards - 1) // num_shards
+    shards = [
+        MergeShard.options(num_cpus=0.5).remote(
+            config.key_cols, lo, min(lo + per, config.num_buckets),
+            compact_rows=compact_rows, stream_col=STREAM_COL,
+        )
+        for lo in range(0, config.num_buckets, per)
+    ]
+    shard_of = np.arange(config.num_buckets) // per
+
+    def decode_and_push(t: pa.Table) -> pa.Table:
+        out = project_multi(t)
+        n = len(out)
+        if n:
+            buckets = out[BUCKET_COL].to_numpy()
+            sid = shard_of[buckets]
+            order = np.argsort(sid, kind="stable")
+            cuts = np.searchsorted(
+                sid[order], np.arange(len(shards) + 1), side="left"
+            )
+            lsn_np = out["lsn"].to_numpy()
+            seq_np = out["seq"].to_numpy()
+            slice_hash = pd.util.hash_array(
+                lsn_np.astype(np.uint64) * np.uint64(1_000_003)
+                + seq_np.astype(np.uint64)
+            )
+            refs = []
+            for s in range(len(shards)):
+                if cuts[s + 1] > cuts[s]:
+                    idx = order[cuts[s] : cuts[s + 1]]
+                    sl = out.take(pa.array(idx))
+                    pid = int(np.bitwise_xor.reduce(slice_hash[idx])) ^ len(idx)
+                    refs.append(shards[s].ingest.remote(sl, pid))
+            ray.get(refs)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    envelopes.map_batches(
+        decode_and_push, batch_format="pyarrow", batch_size=config.batch_size
+    ).sum("n")
+
+    per_stream = {
+        s: {
+            "out_dir": os.path.join(base_dir, s, "data"),
+            "commit_id": f"v{versions[s]:06d}",
+            "prior_paths": prior_paths[s],
+            "prior_fingerprints": prior_fps[s],
+            "ledger": ledgers[s],
+        }
+        for s in streams
+    }
+    stats_refs = [
+        sh.finalize_multi.remote(per_stream, fingerprint_col=fingerprint_col)
+        for sh in shards
+    ]
+    stats_rows = [r for rows in ray.get(stats_refs) for r in rows]
+    for sh in shards:
+        ray.kill(sh)
+
+    results: dict[str, ReplayResult] = {}
+    wall = time.monotonic() - t0
+    for s in streams:
+        rows = [r for r in stats_rows if r.get("stream") == s]
+        prior_schema = (parents[s] or {}).get("schema") or {
+            "fields": [], "log": [], "defaults": {}
+        }
+        manifest = build_manifest(
+            version=versions[s],
+            connector_id=connector_id,
+            stats_rows=rows,
+            parent=parents[s],
+            schema_snapshot=prior_schema,
+            extra_metrics={"wall_seconds": wall, "streaming_multi": True},
         )
         mpath = ckpts[s].save(manifest)
         results[s] = ReplayResult(

@@ -60,7 +60,8 @@ class MergeShard:
     same ``BucketMerge`` used by the sort path."""
 
     def __init__(self, key_cols: tuple[str, ...], lo: int, hi: int,
-                 compact_rows: int = 400_000):
+                 compact_rows: int = 400_000,
+                 stream_col: str | None = None):
         self.key_cols = tuple(key_cols)
         self.lo, self.hi = lo, hi
         self.tables: list[pa.Table] = []
@@ -68,6 +69,9 @@ class MergeShard:
         self.events_seen = 0
         self.compact_rows = compact_rows
         self.seen_pushes: set[int] = set()
+        # multi-table mode: rows carry a stream column; LWW keys and the
+        # finalize grouping include it (one lake table per stream)
+        self.stream_col = stream_col
 
     def ingest(self, t: pa.Table, push_id: int | None = None) -> int:
         """Accept one pre-reduced slice.  ``push_id`` is a deterministic
@@ -102,9 +106,20 @@ class MergeShard:
             "buffered": self.buffered,
         }
 
+    def _lww_key(self, merged: pa.Table) -> np.ndarray:
+        key = _composite_key(merged, self.key_cols)
+        if self.stream_col is not None:
+            streams = merged[self.stream_col].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            key = np.char.add(
+                np.char.add(streams.astype(str), "\x1e"), key.astype(str)
+            )
+        return key
+
     def _compact(self) -> None:
         merged = pa.concat_tables(self.tables, promote_options="default")
-        key = _composite_key(merged, self.key_cols)
+        key = self._lww_key(merged)
         win, _ = _winners_and_weights(
             key, merged["lsn"].to_numpy(), merged["seq"].to_numpy()
         )
@@ -152,6 +167,48 @@ class MergeShard:
             stats_rows.append(
                 {c: stats[c][0].as_py() for c in stats.column_names}
             )
+        return stats_rows
+
+    def finalize_multi(
+        self,
+        per_stream: dict[str, dict],
+        *,
+        fingerprint_col: str | None,
+    ) -> list[dict]:
+        """Multi-table finalize: group owned rows by (stream, bucket)
+        and merge each into ITS stream's lake (per-stream out_dir /
+        commit / prior state / ledger — the per-table topic model).
+        Returns stats rows tagged with ``stream``."""
+        if not self.tables or self.stream_col is None:
+            return []
+        merged = pa.concat_tables(self.tables, promote_options="default")
+        self.tables = []
+        streams = merged[self.stream_col].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        stats_rows: list[dict] = []
+        for stream in np.unique(streams):
+            cfg = per_stream.get(str(stream))
+            if cfg is None:
+                continue
+            sub = merged.filter(pa.array(streams == stream)).drop_columns(
+                [self.stream_col]
+            )
+            bm = BucketMerge(
+                self.key_cols,
+                cfg["out_dir"],
+                cfg["commit_id"],
+                prior_paths=cfg["prior_paths"],
+                prior_fingerprints=cfg["prior_fingerprints"],
+                ledger=cfg["ledger"],
+                fingerprint_col=fingerprint_col,
+            )
+            buckets = sub[BUCKET_COL].to_numpy()
+            for b in np.unique(buckets):
+                stats = bm(sub.filter(pa.array(buckets == b)))
+                row = {c: stats[c][0].as_py() for c in stats.column_names}
+                row["stream"] = str(stream)
+                stats_rows.append(row)
         return stats_rows
 
 
