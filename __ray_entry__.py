@@ -462,7 +462,7 @@ def q_cdc_multi_table(sf_dir: str):
     import pandas as pd
 
     from plugin_debezium_ray.pipelines.multi_table import (
-        replay_multi_table_single_pass,
+        replay_multi_table_streaming,
     )
 
     ds = ray.data.read_parquet(
@@ -478,10 +478,10 @@ def q_cdc_multi_table(sf_dir: str):
         table_col="event_type",
     )
     with tempfile.TemporaryDirectory(prefix="mt_", dir="/tmp") as d:
-        # single-pass shared-shuffle variant is the default (the scale
-        # layout); the per-stream loop remains the correctness cross-check
-        # in tests/test_multi_table.py
-        results = replay_multi_table_single_pass(
+        # streaming barrier-free single pass is the default (the scale
+        # layout); the sort-based single pass and the per-stream loop
+        # remain correctness cross-checks in tests/test_multi_table.py
+        results = replay_multi_table_streaming(
             env, d, CaptureConfig(key_cols=("user_id",), num_buckets=8)
         )
         rows = [
