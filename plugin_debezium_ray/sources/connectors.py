@@ -87,6 +87,10 @@ POSTGRES = ConnectorProfile(
     property_keys=(
         "hostname", "port", "username", "password", "database",
         "pluginName", "slotName", "publicationName", "sslMode",
+        # SSL material (PostgresService.java:40-73) — fold into the
+        # property plan with `sources.pgssl.handle_ssl_properties`
+        # (PEM temp files + PKCS1→PKCS8 key conversion)
+        "sslRootCert", "sslCert", "sslKey", "sslKeyPassword",
     ),
     defaults={"plugin.name": "pgoutput"},  # postgres Capture.java:72
 )

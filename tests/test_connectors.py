@@ -63,3 +63,97 @@ class TestJsonImages:
         t = pa.table({"after": pa.array([{"id": 5}], ptype)})
         out = parse_json_images(ptype)(t)
         assert out.equals(t)
+
+
+class TestPostgresSsl:
+    """PostgresService SSL surface (`PostgresService.java:30-127`):
+    mode mapping, PEM temp files, PKCS1→PKCS8 private-key conversion."""
+
+    @staticmethod
+    def _pkcs1_fixture() -> bytes:
+        # minimal syntactically-valid RSAPrivateKey DER (9 INTEGERs)
+        from plugin_debezium_ray.sources.pgssl import _der_tlv
+
+        ints = b"".join(_der_tlv(0x02, bytes([v])) for v in
+                        [0, 7, 3, 5, 11, 13, 17, 19, 23])
+        return _der_tlv(0x30, ints)
+
+    @classmethod
+    def _pem(cls, label: str, der: bytes, headers: str = "") -> str:
+        import base64
+
+        b64 = base64.b64encode(der).decode()
+        lines = "\n".join(b64[i:i + 64] for i in range(0, len(b64), 64))
+        return (f"-----BEGIN {label}-----\n{headers}{lines}\n"
+                f"-----END {label}-----\n")
+
+    def test_pkcs1_to_pkcs8_wrap(self):
+        from plugin_debezium_ray.sources.pgssl import convert_private_key
+
+        pkcs1 = self._pkcs1_fixture()
+        out = convert_private_key(self._pem("RSA PRIVATE KEY", pkcs1))
+        # PKCS8 envelope: SEQ { INT 0, AlgId(rsaEncryption), OCTETS pkcs1 }
+        assert out[0] == 0x30
+        assert bytes.fromhex("020100") in out[:8]
+        assert bytes.fromhex("06092a864886f70d010101") in out  # rsa OID
+        assert pkcs1 in out  # payload carried verbatim
+
+    def test_pkcs8_passthrough(self):
+        from plugin_debezium_ray.sources.pgssl import (
+            convert_private_key,
+            pkcs1_to_pkcs8,
+        )
+
+        pkcs8 = pkcs1_to_pkcs8(self._pkcs1_fixture())
+        assert convert_private_key(self._pem("PRIVATE KEY", pkcs8)) == pkcs8
+
+    def test_encrypted_without_password_errors(self):
+        import pytest
+
+        from plugin_debezium_ray.sources.pgssl import convert_private_key
+
+        pem = self._pem("RSA PRIVATE KEY", self._pkcs1_fixture(),
+                        headers="Proc-Type: 4,ENCRYPTED\nDEK-Info: AES-128-CBC,00\n\n")
+        with pytest.raises(ValueError, match="no password was provided"):
+            convert_private_key(pem)
+        pem8 = self._pem("ENCRYPTED PRIVATE KEY", b"\x30\x00")
+        with pytest.raises(ValueError, match="no password was provided"):
+            convert_private_key(pem8)
+
+    def test_handle_ssl_properties(self, tmp_path):
+        from plugin_debezium_ray.sources.pgssl import handle_ssl_properties
+
+        cert = self._pem("CERTIFICATE", b"\x30\x03\x02\x01\x01")
+        key = self._pem("RSA PRIVATE KEY", self._pkcs1_fixture())
+        props = handle_ssl_properties(
+            {},
+            ssl_mode="verify_ca",
+            ssl_root_cert=cert,
+            ssl_cert=cert,
+            ssl_key=key,
+            ssl_key_password="pw-for-server",
+            workdir=str(tmp_path),
+        )
+        assert props["database.sslmode"] == "VERIFY-CA"  # _ → - mapping
+        import os
+
+        assert os.path.exists(props["database.sslrootcert"])
+        assert props["database.sslkey"].endswith(".der")
+        with open(props["database.sslkey"], "rb") as f:
+            assert f.read()[0] == 0x30
+        assert props["database.sslpassword"] == "pw-for-server"
+
+    def test_bad_inputs(self):
+        import pytest
+
+        from plugin_debezium_ray.sources.pgssl import (
+            convert_private_key,
+            handle_ssl_properties,
+        )
+
+        with pytest.raises(ValueError, match="no PEM block"):
+            convert_private_key("not a pem")
+        with pytest.raises(ValueError, match="unsupported PEM label"):
+            convert_private_key(self._pem("CERTIFICATE", b"\x30\x00"))
+        with pytest.raises(ValueError, match="unknown sslMode"):
+            handle_ssl_properties({}, ssl_mode="bogus")
