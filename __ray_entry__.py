@@ -396,9 +396,12 @@ def q_ann_brute_force(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+_IVF_INDEX_FORMAT = "v2"  # bump when index layout/fit changes
+
+
 def _ivf_index_dir(sf_dir: str, n_clusters: int) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/ivf_index_{tag}_c{n_clusters}"
+    return f"/tmp/ivf_index_{_IVF_INDEX_FORMAT}_{tag}_c{n_clusters}"
 
 
 def q_ann_ivf(sf_dir: str):
