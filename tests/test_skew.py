@@ -68,3 +68,30 @@ def test_skewed_replay_parity(tmp_path):
             hashlib.sha256(eng[k].encode()).hexdigest()
             == hashlib.sha256(oracle[k]["content"].encode()).hexdigest()
         )
+
+
+def test_streaming_apply_under_key_skew():
+    """The barrier-free actor-pool apply handles a Zipf-hot key stream:
+    the per-batch pre-reduce bounds what any shard receives, and the
+    final state matches the single-threaded oracle exactly."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="skewstream_", dir="/tmp")
+    try:
+        job = ReplayJob(CaptureConfig(num_buckets=8), d)
+        job.run_streaming(binlog(6000, 300, seed=31, key_skew=True))
+        oracle = oracle_apply(6000, 300, seed=31, key_skew=True,
+                              include_snapshot=False)
+        got = {
+            (r.repo, r.path): hashlib.sha256(r.content.encode()).hexdigest()
+            for r in job.read_table().to_pandas().itertuples()
+        }
+        want = {
+            k: hashlib.sha256(v["content"].encode()).hexdigest()
+            for k, v in oracle.items()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
