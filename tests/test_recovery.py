@@ -100,3 +100,37 @@ def test_crash_between_data_write_and_commit(tmp_path):
     got = job_after.read_table().to_pandas()
     eng = {(r.repo, r.path): r.content for r in got.itertuples()}
     assert set(eng) == set(oracle)
+
+
+def test_streaming_crash_between_data_write_and_commit(tmp_path):
+    """Same crash contract on the STREAMING apply: orphaned v2 bucket
+    files are invisible (manifest-gated), and a streaming rerun of the
+    same tail converges to byte-identical v2 files."""
+    lake = str(tmp_path)
+    base = binlog(1200, 100, seed=41)
+    tail = binlog(600, 100, seed=42, base_lsn=50_000)
+    job = ReplayJob(CaptureConfig(num_buckets=8), lake)
+    job.run_streaming(base)
+    v1_rows = job.read_table().count()
+
+    job.run_streaming(tail)
+    v2_hashes = {
+        b: hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for b, p in job.ckpt.bucket_paths().items()
+    }
+    meta = os.path.join(lake, "_meta")
+    os.remove(os.path.join(meta, "manifest-v000002.json"))
+    with open(os.path.join(meta, "CURRENT"), "w") as f:
+        f.write("1")
+
+    job_after = ReplayJob(CaptureConfig(num_buckets=8), lake)
+    assert job_after.ckpt.current_version() == 1
+    assert job_after.read_table().count() == v1_rows
+
+    res = job_after.run_streaming(tail)
+    assert res.version == 2 and res.events_seen == 600
+    new_hashes = {
+        b: hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for b, p in job_after.ckpt.bucket_paths().items()
+    }
+    assert new_hashes == v2_hashes
