@@ -514,6 +514,23 @@ def q_window_tumbling(sf_dir: str):
     return out
 
 
+def q_window_sliding(sf_dir: str):
+    """Sliding windows (1 h window, 30 min slide) per event_type —
+    overlap assignment exploded vectorized, partials-first aggregate."""
+    from plugin_debezium_ray.functions.windows import sliding_window_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    out = sliding_window_agg(
+        ds, ts_col="ts", window_seconds=3600, slide_seconds=1800,
+        key_cols=["event_type"], sum_cols=["value"],
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
 def q_window_sessions(sf_dir: str):
     """Session windows (30-min gap) per user → session count."""
     from ray.data.aggregate import Count
@@ -571,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_approx": q_ann_ivf_approx,
         "agg_event_stats": q_agg_event_stats,
         "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
         "window_sessions": q_window_sessions,
         "cdc_multi_table": q_cdc_multi_table,
     }
@@ -657,6 +675,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "window_sliding": """
+            WITH w AS (
+                SELECT event_type, value,
+                       make_timestamp(CAST(
+                           (epoch_us(ts) // 1800000000) * 1800000000 - s.off
+                       AS BIGINT)) AS window_start
+                FROM events CROSS JOIN (
+                    VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))
+                ) AS s(off)
+            )
+            SELECT event_type, window_start,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM w GROUP BY event_type, window_start
         """,
         "cdc_multi_table": """
             SELECT 'testdb.' || event_type AS stream,

@@ -67,6 +67,59 @@ def tumbling_window_agg(
     return partials.groupby(key_cols + ["window_start"]).aggregate(*aggs)
 
 
+def sliding_window_agg(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str,
+    window_seconds: int,
+    slide_seconds: int,
+    key_cols: list[str],
+    sum_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """count + sums per (key, sliding window): each event belongs to
+    ``window_seconds / slide_seconds`` overlapping windows, assigned by a
+    vectorized explode inside ``map_batches`` (one output row per
+    (event, window) pre-aggregated per batch — the same partials-first
+    shape as the tumbling aggregate, shuffle carries one row per
+    (key, window, batch)).
+
+    Output columns: key cols, ``window_start``, ``n``, ``sum_<col>``…
+    Windows are aligned to multiples of ``slide_seconds``; an event at t
+    falls in windows starting at every slide boundary in
+    ``(t - window, t]``."""
+    if window_seconds % slide_seconds != 0:
+        raise ValueError("window_seconds must be a multiple of slide_seconds")
+    k = window_seconds // slide_seconds
+    sum_cols = sum_cols or []
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        us = ts.to_numpy(zero_copy_only=False)
+        slide = slide_seconds * 1_000_000
+        base = (us // slide) * slide  # latest window start containing t
+        n = len(t)
+        # explode: k window starts per event, vectorized
+        offs = (np.arange(k, dtype=np.int64) * slide)[None, :]
+        starts = (base[:, None] - offs).reshape(-1)
+        idx = np.repeat(np.arange(n), k)
+        df = t.select(key_cols + sum_cols).to_pandas().iloc[idx]
+        df["window_start"] = pd.to_datetime(starts, unit="us")
+        g = df.groupby(key_cols + ["window_start"], sort=False, as_index=False)
+        out = g.size().rename(columns={"size": "n"})
+        if sum_cols:
+            sums = g.agg({c: "sum" for c in sum_cols}).rename(
+                columns={c: f"sum_{c}" for c in sum_cols}
+            )
+            out = out.merge(sums, on=key_cols + ["window_start"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("n", alias_name="n")]
+    for c in sum_cols:
+        aggs.append(Sum(f"sum_{c}", alias_name=f"sum_{c}"))
+    return partials.groupby(key_cols + ["window_start"]).aggregate(*aggs)
+
+
 def session_windows(
     ds: "ray.data.Dataset",
     *,
