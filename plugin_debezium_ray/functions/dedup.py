@@ -579,6 +579,7 @@ def minhash_dedup(
     pairs = minhash_lsh_pairs_ds(
         ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
         bands=bands, k=k, distinct=False,
+        num_partitions=max(num_partitions, 4) * 4,
     ).materialize()
     n_pairs = pairs.count()  # O(1) driver scalar (upper bound: pre-distinct)
     if n_pairs == 0:
