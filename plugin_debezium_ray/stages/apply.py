@@ -313,10 +313,15 @@ class BucketMerge:
         else:
             merged = upserts
 
-        # deterministic row order → byte-stable files for the rerun test
-        merged_key = _composite_key(merged, self.key_cols)
-        order = np.argsort(merged_key, kind="stable")
-        merged = merged.take(pa.array(order))
+        # deterministic row order → byte-stable files for the rerun test.
+        # Arrow's multi-key sort (C++ kernels) replaces the object-dtype
+        # numpy argsort on joined key strings; the order is identical
+        # (keys are unique post-merge, UTF-8 byte order == code-point
+        # order, and the \x1f join separator sorts below any data char)
+        order = pc.sort_indices(
+            merged, sort_keys=[(c, "ascending") for c in self.key_cols]
+        )
+        merged = merged.take(order)
 
         path = os.path.join(self.out_dir, self.commit_id, f"bucket={bucket:05d}.parquet")
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -327,7 +332,9 @@ class BucketMerge:
         stats["rows"] = len(merged)
         stats["path"] = path
         if fp is None:
-            fp = f"{self._xor_rows(merged, merged_key[order]):064x}"
+            # full digest needed only on a bucket's first commit — the
+            # incremental path above never builds the composite key
+            fp = f"{self._xor_rows(merged, _composite_key(merged, self.key_cols)):064x}"
         stats["fingerprint"] = fp
         stats["apply_seconds"] = time.monotonic() - t0
         return pa.table(
