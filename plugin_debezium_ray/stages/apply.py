@@ -143,7 +143,11 @@ def project_for_apply(
         )
         if max_lsn is not None:
             keep = pc.and_(keep, pc.less_equal(t["lsn"], max_lsn))
-        out, key = project(t.filter(keep))
+        # data batches rarely contain DDL: skip the whole-table copy
+        # when the mask keeps every row (~75 ms per 131k-row batch)
+        if len(t) and not bool(pc.all(pc.fill_null(keep, False)).as_py()):
+            t = t.filter(keep)
+        out, key = project(t)
         if len(out) == 0:
             return out
 
@@ -164,7 +168,12 @@ def project_for_apply(
         win, weights = _winners_and_weights(
             key, out["lsn"].to_numpy(), out["seq"].to_numpy()
         )
-        out = out.take(pa.array(win))
+        if len(win) < len(out):
+            out = out.take(pa.array(win))
+        else:
+            # no intra-batch duplicate keys: every row is its own winner
+            # (weights all 1) — skip the gather of the wide content cols
+            weights = np.ones(len(out), dtype=np.int64)
         return out.append_column(WEIGHT_COL, pa.array(weights, type=pa.int64()))
 
     return fn
@@ -187,6 +196,8 @@ def _ledger_filter(t: pa.Table, ledger: dict[int, tuple[int, int]]) -> pa.Table:
         led_lsn[in_range] = lut_lsn[b[in_range]]
         led_seq[in_range] = lut_seq[b[in_range]]
     keep = (lsn > led_lsn) | ((lsn == led_lsn) & (seq > led_seq))
+    if keep.all():  # resume batches past the high-water mark: no copy
+        return t
     return t.filter(pa.array(keep))
 
 
