@@ -368,7 +368,11 @@ def replay_multi_table_streaming(
 
     import ray
 
-    from plugin_debezium_ray.pipelines.streaming_apply import MergeShard
+    from plugin_debezium_ray.pipelines.streaming_apply import (
+        MergeShard,
+        _push_lanes,
+        _slice_push_id,
+    )
 
     t0 = time.monotonic()
     streams = discover_streams(
@@ -416,16 +420,13 @@ def replay_multi_table_streaming(
             )
             lsn_np = out["lsn"].to_numpy()
             seq_np = out["seq"].to_numpy()
-            slice_hash = pd.util.hash_array(
-                lsn_np.astype(np.uint64) * np.uint64(1_000_003)
-                + seq_np.astype(np.uint64)
-            )
+            lane_a, lane_b = _push_lanes(lsn_np, seq_np)
             refs = []
             for s in range(len(shards)):
                 if cuts[s + 1] > cuts[s]:
                     idx = order[cuts[s] : cuts[s + 1]]
                     sl = out.take(pa.array(idx))
-                    pid = int(np.bitwise_xor.reduce(slice_hash[idx])) ^ len(idx)
+                    pid = _slice_push_id(lane_a, lane_b, lsn_np, idx)
                     refs.append(shards[s].ingest.remote(sl, pid))
             ray.get(refs)
         return pa.table({"n": pa.array([n], pa.int64())})

@@ -499,6 +499,7 @@ class ReplayJob:
         batch_size: int = 4096,
         max_wait_seconds: float | None = None,
         max_duration_seconds: float | None = None,
+        stop_event=None,
     ):
         """Realtime-trigger surface: yields ``{"stream": s, "data": row}``
         per formatted record, streaming with backpressure (K2,
@@ -508,7 +509,12 @@ class ReplayJob:
         idle stop: iteration ends when no batch arrives for that long —
         the reference's ``maxWait`` (`AbstractDebeziumTask.java:138-144,
         626-630`, soft limit).  ``max_duration_seconds`` bounds the total
-        wall time (``maxDuration``, `:617-624`)."""
+        wall time (``maxDuration``, `:617-624`).  ``stop_event`` is a
+        caller-held ``threading.Event``-style handle (anything with
+        ``is_set()``): setting it ends iteration promptly mid-stream and
+        releases the underlying dataset stream — the external
+        ``stop()``/``kill()`` handoff of the reference's realtime trigger
+        (`AbstractDebeziumRealtimeTrigger.java:215-256`)."""
         decoder = EnvelopeDecoder(self.cfg)
         decoded = envelopes.map_batches(
             decoder, batch_format="pyarrow", batch_size=batch_size
@@ -526,15 +532,25 @@ class ReplayJob:
         batches = decoded.iter_batches(
             batch_size=batch_size, batch_format="pyarrow"
         )
-        if max_wait is None and max_dur is None:
+        if max_wait is None and max_dur is None and stop_event is None:
             gen = batches
         else:
-            gen = _idle_bounded(batches, max_wait, max_dur)
-        for batch in gen:
-            streams = batch["_stream"].to_pylist()
-            rows = batch.drop_columns(["_stream"]).to_pylist()
-            for s, row in zip(streams, rows):
-                yield {"stream": s, "data": row}
+            gen = _idle_bounded(batches, max_wait, max_dur, stop_event)
+        try:
+            for batch in gen:
+                streams = batch["_stream"].to_pylist()
+                rows = batch.drop_columns(["_stream"]).to_pylist()
+                for s, row in zip(streams, rows):
+                    # per-record stop check: a batch can hold thousands of
+                    # rows, and the reference's stop() halts the consumer
+                    # at record granularity (ChangeConsumer.java:147-160)
+                    if stop_event is not None and stop_event.is_set():
+                        return
+                    yield {"stream": s, "data": row}
+        finally:
+            close = getattr(gen, "close", None)
+            if callable(close):
+                close()  # join the _idle_bounded producer deterministically
 
     # ------------------------------------------------------- read back
 
@@ -546,45 +562,95 @@ class ReplayJob:
         return ray.data.read_parquet(paths)
 
 
-def _idle_bounded(batch_iter, max_wait: float | None, max_dur: float | None):
+def _idle_bounded(
+    batch_iter,
+    max_wait: float | None,
+    max_dur: float | None,
+    stop_event=None,
+):
     """Wrap a blocking batch iterator with the reference's soft stop
     conditions: stop when no batch arrives for ``max_wait`` seconds
-    (idle, `AbstractDebeziumTask.java:626-630`) or total wall time
-    exceeds ``max_dur`` (`:617-624`).  A producer thread pulls batches so
-    the consumer can time out on the queue without killing the stream
-    mid-batch."""
+    (idle, `AbstractDebeziumTask.java:626-630`), total wall time exceeds
+    ``max_dur`` (`:617-624`), or a caller-held ``stop_event`` is set (the
+    realtime trigger's external ``stop()``/``kill()`` handoff,
+    `AbstractDebeziumRealtimeTrigger.java:215-256`).  A producer thread
+    pulls batches so the consumer can time out on the queue without
+    killing the stream mid-batch.
+
+    On ANY exit path (bound hit, external stop, consumer abandoning the
+    generator) the producer is shut down deliberately: a shared stop flag
+    makes its bounded ``put`` give up, the queue is drained so a blocked
+    put can observe the flag, and the underlying Ray batch iterator is
+    closed — no daemon thread stays pinned to a live dataset stream."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=4)
     _END = object()
+    producer_stop = threading.Event()
 
     def produce():
         try:
             for b in batch_iter:
-                q.put(b)
+                while not producer_stop.is_set():
+                    try:
+                        q.put(b, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if producer_stop.is_set():
+                    return
         finally:
-            q.put(_END)
+            close = getattr(batch_iter, "close", None)
+            if callable(close):
+                try:
+                    close()
+                except Exception:
+                    pass
+            try:
+                q.put_nowait(_END)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    start = time.monotonic()
-    while True:
-        remaining = None
-        if max_wait is not None:
-            remaining = max_wait
-        if max_dur is not None:
-            wall_left = max_dur - (time.monotonic() - start)
-            if wall_left <= 0:
+    start = last = time.monotonic()
+    try:
+        while True:
+            now = time.monotonic()
+            if stop_event is not None and stop_event.is_set():
                 return
-            remaining = wall_left if remaining is None else min(remaining, wall_left)
-        try:
-            item = q.get(timeout=remaining)
-        except queue.Empty:
-            return  # idle (maxWait) or wall (maxDuration) stop
-        if item is _END:
-            return
-        yield item
+            timeout = None
+            if max_wait is not None:
+                idle_left = max_wait - (now - last)
+                if idle_left <= 0:
+                    return
+                timeout = idle_left
+            if max_dur is not None:
+                wall_left = max_dur - (now - start)
+                if wall_left <= 0:
+                    return
+                timeout = wall_left if timeout is None else min(timeout, wall_left)
+            if stop_event is not None:
+                # poll in short slices so an external stop() is observed
+                # promptly even while blocked waiting for the next batch
+                timeout = 0.2 if timeout is None else min(timeout, 0.2)
+            try:
+                item = q.get(timeout=timeout)
+            except queue.Empty:
+                continue  # loop re-checks every stop condition
+            if item is _END:
+                return
+            last = time.monotonic()
+            yield item
+    finally:
+        producer_stop.set()
+        while True:  # free a producer blocked on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)
 
 
 def _env_schema(ds: "ray.data.Dataset") -> pa.Schema:

@@ -52,6 +52,43 @@ from plugin_debezium_ray.stages.apply import (
 from plugin_debezium_ray.state.checkpoint import build_manifest
 
 
+def _push_lanes(lsn_np: np.ndarray, seq_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit keyed-hash lanes per (lsn, seq) row, for
+    content-addressed push ids.  lsn and seq are hashed SEPARATELY with
+    distinct SipHash keys and mixed with a rotation, so the pair encoding
+    is not subject to the non-injectivity of an arithmetic combine
+    (``lsn*P + seq`` aliases once seq ≥ P)."""
+    lsn_u = lsn_np.astype(np.uint64)
+    seq_u = seq_np.astype(np.uint64)
+    lanes = []
+    for lk, sk in (("push-lsn-lane-a-", "push-seq-lane-a-"),
+                   ("push-lsn-lane-b-", "push-seq-lane-b-")):
+        hl = pd.util.hash_array(lsn_u, hash_key=lk)
+        hs = pd.util.hash_array(seq_u, hash_key=sk)
+        lanes.append(hl ^ ((hs << np.uint64(17)) | (hs >> np.uint64(47))))
+    return lanes[0], lanes[1]
+
+
+def _slice_push_id(
+    lane_a: np.ndarray, lane_b: np.ndarray,
+    lsn_np: np.ndarray, idx: np.ndarray,
+) -> tuple[int, int, int, int, int]:
+    """Deterministic id of one pushed slice: (rows, min_lsn, max_lsn,
+    xor of lane a, xor of lane b).  The XOR fold alone loses set
+    structure, so the id also carries structural fields; a collision
+    between two distinct slices bound for the same shard requires both
+    128 hash bits AND the (rows, lsn-range) tuple to agree — ~2^-128 per
+    pair, and identical on a Ray task retry (the exactly-once property)."""
+    lsn_sel = lsn_np[idx]
+    return (
+        int(len(idx)),
+        int(lsn_sel.min()),
+        int(lsn_sel.max()),
+        int(np.bitwise_xor.reduce(lane_a[idx])),
+        int(np.bitwise_xor.reduce(lane_b[idx])),
+    )
+
+
 @ray.remote
 class MergeShard:
     """Owns buckets ``[lo, hi)``: accumulates pre-reduced event slices,
@@ -68,18 +105,24 @@ class MergeShard:
         self.buffered = 0
         self.events_seen = 0
         self.compact_rows = compact_rows
-        self.seen_pushes: set[int] = set()
+        self.seen_pushes: set = set()
         # multi-table mode: rows carry a stream column; LWW keys and the
         # finalize grouping include it (one lake table per stream)
         self.stream_col = stream_col
 
-    def ingest(self, t: pa.Table, push_id: int | None = None) -> int:
+    def ingest(self, t: pa.Table, push_id: tuple | int | None = None) -> int:
         """Accept one pre-reduced slice.  ``push_id`` is a deterministic
-        content hash of the slice's (lsn, seq) set: a RETRIED decode task
-        re-sends identical slices, which are dropped here — exactly-once
-        accounting under Ray task retries (SURVEY.md §7.4 #1; distinct
-        slices can never collide because each (lsn, seq) is consumed
-        once per run)."""
+        content id of the slice — (rows, min/max lsn, two independent
+        64-bit XOR-fold hash lanes of its (lsn, seq) set; see
+        ``_slice_push_id``): a RETRIED decode task re-sends identical
+        slices, which are dropped here — exactly-once accounting under
+        Ray task retries (SURVEY.md §7.4 #1).  Distinct slices collide
+        with probability ~2^-128 per pair (not never: an XOR fold is not
+        injective, so the id also carries row-count and lsn-range).
+        ``seen_pushes`` grows one entry per decode-task push for the
+        run's lifetime — ≈ events / batch_size / num_shards entries, a
+        few MB even at 10^10 events; bound it (LRU keyed on lsn-range)
+        before multi-day streaming sessions exist."""
         if push_id is not None:
             if push_id in self.seen_pushes:
                 return 0
@@ -303,18 +346,14 @@ def run_streaming(
             )
             lsn_np = out["lsn"].to_numpy()
             seq_np = out["seq"].to_numpy()
-            slice_hash = pd.util.hash_array(
-                lsn_np.astype(np.uint64) * np.uint64(1_000_003)
-                + seq_np.astype(np.uint64)
-            )
+            lane_a, lane_b = _push_lanes(lsn_np, seq_np)
             refs = []
             for s in range(len(shards)):
                 if cuts[s + 1] > cuts[s]:
                     idx = order[cuts[s] : cuts[s + 1]]
                     sl = out.take(pa.array(idx))
-                    # content-addressed push id: XOR of the slice's
-                    # (lsn, seq) hashes — identical on a task retry
-                    pid = int(np.bitwise_xor.reduce(slice_hash[idx])) ^ len(idx)
+                    # content-addressed push id — identical on a task retry
+                    pid = _slice_push_id(lane_a, lane_b, lsn_np, idx)
                     refs.append(shards[s].ingest.remote(sl, pid))
             # await pushes: the task doesn't complete until its rows are
             # owned by the shards (backpressure + retry safety)

@@ -36,6 +36,14 @@ BUCKET_COL = "_bucket"
 WEIGHT_COL = "_weight"
 _KEY_SEP = "\x1f"
 
+# Version tag of BucketMerge's bucket-fingerprint algorithm, stamped into
+# every manifest.  The incremental XOR update (prior_fp ^ removed ^ added)
+# is only sound against a prior digest computed by the SAME scheme; a lake
+# committed under a different (or unversioned, pre-r3) scheme must fall
+# back to a full digest recompute for touched buckets.  Bump this whenever
+# _xor_rows changes hash keys, lane count, or value canonicalization.
+FINGERPRINT_SCHEME = "xor256-siphash4-str-v2"
+
 APPLY_STATS_FIELDS = [
     ("bucket", pa.int32()),
     ("rows", pa.int64()),
@@ -325,10 +333,13 @@ class BucketMerge:
             merged = upserts
 
         # deterministic row order → byte-stable files for the rerun test.
-        # Arrow's multi-key sort (C++ kernels) replaces the object-dtype
-        # numpy argsort on joined key strings; the order is identical
-        # (keys are unique post-merge, UTF-8 byte order == code-point
-        # order, and the \x1f join separator sorts below any data char)
+        # Arrow's multi-key sort (C++ kernels) sorts each key column in
+        # its NATIVE type order — integers numerically, not as strings —
+        # which intentionally differs from the pre-r3 argsort on
+        # \x1f-joined key strings.  Only within-version byte-stability is
+        # guaranteed; files written by older code are value-equal but not
+        # byte-comparable.  Keys are unique post-merge, so the order (and
+        # the order-independent fingerprint) is total and deterministic.
         order = pc.sort_indices(
             merged, sort_keys=[(c, "ascending") for c in self.key_cols]
         )

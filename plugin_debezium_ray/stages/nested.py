@@ -319,7 +319,23 @@ def decode_column(col, schema: ConnectSchema | None) -> pa.Array:
             raise ValueError(f"Invalid type for MAP: {arr.type}")
         keys = decode_column(arr.keys, schema.key_schema)
         items = decode_column(arr.items, schema.value_schema)
-        return pa.MapArray.from_arrays(arr.offsets, keys, items)
+        rebuilt = pa.MapArray.from_arrays(arr.offsets, keys, items)
+        if arr.null_count:
+            # MapArray.from_arrays has no mask= (pyarrow 16) and drops the
+            # validity bitmap — a null map would silently become {}. Rebuild
+            # the validity via a masked ListArray over the same offsets and
+            # graft its (validity, offsets) buffers onto the map type.
+            lst = pa.ListArray.from_arrays(
+                arr.offsets, rebuilt.values, mask=pc.is_null(arr)
+            )
+            rebuilt = pa.Array.from_buffers(
+                rebuilt.type,
+                len(lst),
+                lst.buffers()[:2],
+                null_count=lst.null_count,
+                children=[lst.values],
+            )
+        return rebuilt
 
     if schema.type == "struct":
         if not pa.types.is_struct(arr.type):

@@ -24,6 +24,8 @@ import json
 import os
 import tempfile
 
+from plugin_debezium_ray.stages.apply import FINGERPRINT_SCHEME
+
 CURRENT = "CURRENT"
 LEGACY_OFFSETS = "offsets.json"
 LEGACY_HISTORY = "history.json"
@@ -134,8 +136,17 @@ class CheckpointManager:
         return {int(k): v["path"] for k, v in m.get("buckets", {}).items()}
 
     def bucket_fingerprints(self) -> dict[int, str]:
+        """Prior bucket digests usable for the incremental XOR update.
+
+        Returns ``{}`` when the restored manifest was committed under a
+        different (or missing, pre-versioned) fingerprint scheme: XOR-ing
+        new-scheme removed/added digests into an old-scheme value would
+        silently break the incremental-equals-full invariant, so touched
+        buckets fall back to a full digest recompute instead."""
         m = self.restore()
         if not m:
+            return {}
+        if m.get("fingerprint_scheme") != FINGERPRINT_SCHEME:
             return {}
         return {
             int(k): v["fingerprint"]
@@ -183,6 +194,7 @@ def build_manifest(
         "version": version,
         "connector_id": connector_id,
         "parent": (parent or {}).get("version"),
+        "fingerprint_scheme": FINGERPRINT_SCHEME,
         "ledger": ledger,
         "buckets": buckets,
         "schema": schema_snapshot,

@@ -115,6 +115,39 @@ class TestCheckpoint:
         assert m["metrics"]["events_seen"] == 7
         assert m["parent"] == 1
 
+    def test_fingerprint_scheme_gates_incremental_xor(self, tmp_path):
+        # A manifest committed under a different (or pre-versioned)
+        # fingerprint scheme must NOT feed the incremental XOR update —
+        # bucket_fingerprints() returns {} so touched buckets recompute
+        # their digest in full; paths/ledger are still usable.
+        from plugin_debezium_ray.stages.apply import FINGERPRINT_SCHEME
+
+        ck = CheckpointManager(str(tmp_path), needs_schema_history=False)
+        m = build_manifest(
+            version=1, connector_id=None,
+            stats_rows=[{"bucket": 0, "rows": 1, "events_seen": 1,
+                         "events_applied": 1, "last_lsn": 5, "last_seq": 2,
+                         "fingerprint": "ab", "path": "/x/b0.parquet",
+                         "apply_seconds": 0.0}],
+            parent=None, schema_snapshot={},
+        )
+        assert m["fingerprint_scheme"] == FINGERPRINT_SCHEME
+        ck.save(m)
+        assert ck.bucket_fingerprints() == {0: "ab"}
+        assert ck.bucket_paths() == {0: "/x/b0.parquet"}
+
+        # same manifest stamped by an older code version
+        m_old = dict(m, version=2, fingerprint_scheme="sha256-rowloop-v1")
+        ck.save(m_old)
+        assert ck.bucket_fingerprints() == {}
+        assert ck.bucket_paths() == {0: "/x/b0.parquet"}
+
+        # pre-versioning manifest: no scheme key at all
+        m_pre = {k: v for k, v in m.items() if k != "fingerprint_scheme"}
+        m_pre["version"] = 3
+        ck.save(m_pre)
+        assert ck.bucket_fingerprints() == {}
+
     def test_ledger_never_regresses(self):
         parent = _manifest(1)  # bucket 0 at (5, 2)
         stats = [

@@ -110,6 +110,61 @@ class TestIdleBounded:
         )
         assert 1 <= len(got) < 10
 
+    def test_stop_event_cancels_and_joins_producer(self):
+        """External cancel (`AbstractDebeziumRealtimeTrigger.java:215-256`):
+        setting the stop handle ends iteration promptly AND shuts the
+        producer thread down (no daemon thread left blocked on q.put
+        holding the stream — the round-2 leak)."""
+        import threading
+
+        before = {t.ident for t in threading.enumerate()}
+        stop = threading.Event()
+        got = []
+        # infinite-ish fast stream: only the stop_event can end it
+        for item in _idle_bounded(self._slow_gen([0.01] * 1000), None, None, stop):
+            got.append(item)
+            if len(got) == 3:
+                stop.set()
+        assert 3 <= len(got) <= 4  # at most one in-flight item after stop
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            leaked = {t.ident for t in threading.enumerate()} - before
+            if not leaked:
+                break
+            time.sleep(0.05)
+        assert not leaked
+
+    def test_abandoned_generator_joins_producer(self):
+        """A consumer that stops iterating (GeneratorExit) also releases
+        the producer — long-lived processes calling iter_events
+        repeatedly must not accumulate blocked threads."""
+        import threading
+
+        before = {t.ident for t in threading.enumerate()}
+        gen = _idle_bounded(self._slow_gen([0.01] * 1000), 5.0, None)
+        assert next(gen) == 0
+        gen.close()  # GeneratorExit → finally → producer_stop + join
+        leaked = {t.ident for t in threading.enumerate()} - before
+        assert not leaked
+
+    def test_iter_events_stop_event_mid_stream(self, tmp_path):
+        """Cancelling the realtime surface mid-stream stops cleanly and
+        leaves NO committed state (iter_events never writes the ledger)."""
+        import threading
+
+        job = ReplayJob(
+            CaptureConfig(num_buckets=4, max_wait_seconds=30.0),
+            str(tmp_path),
+        )
+        stop = threading.Event()
+        seen = 0
+        for _ in job.iter_events(binlog(500, 40, seed=SEED), stop_event=stop):
+            seen += 1
+            if seen == 25:
+                stop.set()
+        assert 25 <= seen < 500
+        assert job.ckpt.restore() is None  # ledger untouched by cancel
+
     def test_iter_events_idle_stop(self, tmp_path):
         """The realtime surface honors cfg.max_wait_seconds: a generous
         idle budget drains the bounded stream fully (the reference's

@@ -223,6 +223,31 @@ class TestDecodeColumnRecursive:
 
         assert got == [norm(w) for w in want]
 
+    def test_null_map_stays_null(self):
+        # MapArray.from_arrays drops validity (pyarrow 16 has no mask=);
+        # a null (optional) map must NOT silently become an empty map {}.
+        # Mirrors the reference MapConverter's null passthrough.
+        m = pa.array(
+            [[("a", 1)], None, []], type=pa.map_(pa.string(), pa.int64())
+        )
+        out = decode_column(
+            m, S.map_(S.primitive("string"), S.primitive("int64"))
+        )
+        assert out.null_count == 1
+        assert out.to_pylist() == [[("a", 1)], None, []]
+        # nested: map inside a struct keeps both validity layers
+        sarr = pa.array(
+            [{"m": [("k", 1)]}, {"m": None}, None],
+            type=pa.struct([("m", pa.map_(pa.string(), pa.int64()))]),
+        )
+        sout = decode_column(
+            sarr,
+            S.struct([("m", S.map_(S.primitive("string"),
+                                   S.primitive("int64")))]),
+        )
+        assert sout.null_count == 1
+        assert sout.to_pylist() == [{"m": [("k", 1)]}, {"m": None}, None]
+
     def test_arrow_map_non_string_keys_native(self):
         # Arrow maps carry non-string keys natively — no array-encoding
         # hack needed in the columnar path (SURVEY.md §1.4)
