@@ -162,15 +162,24 @@ class MinHasher:
         """(n_docs, num_perm) signature matrix, vectorized across docs:
         one hash_array call for all shingles, one outer mix per chunk,
         ``np.minimum.reduceat`` over doc boundaries."""
+        hashes, offsets = _batch_shingles(texts, self.k)
+        return self.signatures_from_shingles(hashes, offsets)
+
+    def signatures_from_shingles(
+        self, hashes: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        """Signatures from an already-computed shingle-hash pass (lets a
+        caller that shingled the batch for exact verification reuse the
+        pass for the estimated-Jaccard prefilter — no double regex)."""
         from plugin_debezium_ray.sources.rand import splitmix64
 
-        hashes, offsets = _batch_shingles(texts, self.k)
-        out = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        n_docs = len(offsets) - 1
+        out = np.empty((n_docs, self.num_perm), dtype=np.uint64)
         d0 = 0
-        while d0 < len(texts):
+        while d0 < n_docs:
             d1 = d0
             while (
-                d1 < len(texts)
+                d1 < n_docs
                 and offsets[d1 + 1] - offsets[d0] <= self.MAX_CHUNK_SHINGLES
             ):
                 d1 += 1
@@ -342,12 +351,26 @@ def verify_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     num_partitions: int = 16,
+    prefilter_perms: int = 128,
+    prefilter_margin: float = 0.15,
 ) -> "ray.data.Dataset":
     """Exact-Jaccard verification of candidate pairs, fully distributed:
     two hash joins attach the texts (pairs ⋈ docs on a, then on b — each
     text ships once per candidate edge, never the corpus), then a
     vectorized per-batch verify (one shingle-hash pass over the batch's
-    distinct texts).  Returns the surviving edges (a, b)."""
+    distinct texts).  Returns the surviving edges (a, b).
+
+    Two-stage verify: an **estimated-Jaccard prefilter** (Broder '97 —
+    the fraction of agreeing minhash components is an unbiased estimator
+    of J) computed as ONE matrix compare over all pairs drops candidates
+    whose estimate falls below ``threshold - prefilter_margin``; only
+    survivors pay the exact per-pair intersection, which itself runs on
+    sorted unique uint64 arrays via ``np.intersect1d`` (C merge) rather
+    than Python set objects.  At 128 perms the estimator's σ ≈ 0.035, so
+    a 0.15 margin (~4σ) makes a false drop of a true ≥threshold pair
+    ~1e-5 — and the signatures are deterministic (fixed seed), so
+    results are reproducible run-to-run."""
+    prefilter = MinHasher(num_perm=prefilter_perms, k=k)
     parts = _join_parts(num_partitions)
 
     def side(name: str) -> "ray.data.Dataset":
@@ -370,18 +393,28 @@ def verify_jaccard_pairs(
         tb = t["_text_b"].to_pylist()
         uniq = list({x for x in ta + tb if x is not None})
         hashes, offsets = _batch_shingles(uniq, k)
-        sets = {
-            uniq[i]: set(hashes[offsets[i] : offsets[i + 1]].tolist())
+        # per-doc sorted unique shingle arrays: exact set ops stay in C
+        usets = [
+            np.unique(hashes[offsets[i] : offsets[i + 1]])
             for i in range(len(uniq))
-        }
+        ]
+        index = {x: i for i, x in enumerate(uniq)}
+        ia = np.array([index.get(x, -1) for x in ta], dtype=np.int64)
+        ib = np.array([index.get(y, -1) for y in tb], dtype=np.int64)
+        valid = (ia >= 0) & (ib >= 0)
         keep = np.zeros(len(t), dtype=bool)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            if x is None or y is None:
-                continue
-            sa, sb = sets[x], sets[y]
-            union = len(sa | sb)
-            j = 1.0 if union == 0 else len(sa & sb) / union
-            keep[i] = j >= threshold
+        cand = np.where(valid)[0]
+        if cand.size:
+            # stage 1: estimated Jaccard from minhash agreement, one
+            # vectorized (pairs × perms) compare — reuses the shingle pass
+            sigs = prefilter.signatures_from_shingles(hashes, offsets)
+            est = (sigs[ia[cand]] == sigs[ib[cand]]).mean(axis=1)
+            cand = cand[est >= threshold - prefilter_margin]
+        for i in cand:
+            ua, ub = usets[ia[i]], usets[ib[i]]
+            ni = np.intersect1d(ua, ub, assume_unique=True).size
+            union = ua.size + ub.size - ni
+            keep[i] = (1.0 if union == 0 else ni / union) >= threshold
         return t.select(["a", "b"]).filter(pa.array(keep))
 
     return joined.map_batches(verify, batch_format="pyarrow")
@@ -637,12 +670,27 @@ class SimHasher:
 
     Vectorized across the batch: ONE ``pd.util.hash_array`` call over all
     docs' words, bit expansion + ``np.add.reduceat`` over doc boundaries
-    — no per-word hashlib calls."""
+    — no per-word hashlib calls.  The (words × 64) int32 bit matrix is
+    processed in chunks of ≤ ``MAX_CHUNK_WORDS`` words (same guard as
+    ``MinHasher.MAX_CHUNK_SHINGLES``), so a 131k-row batch of 1k-word
+    docs peaks at ~100 MB instead of ~33 GB; a single doc longer than
+    the bound is itself sub-chunked (the ±1 bit sums are additive)."""
+
+    # bound the (words × 64) int32 bit/contrib matrices per chunk
+    # (~100 MB at 200k words) regardless of doc length × batch size
+    MAX_CHUNK_WORDS = 200_000
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.word_re = _WORD_RE
         self.shifts = np.arange(64, dtype=np.uint64)
+
+    def _bit_sums(self, h: np.ndarray) -> np.ndarray:
+        """(len(h), 64) ±1 contributions of each word hash's bits."""
+        bits = ((h[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        return 2 * bits - 1  # ±1 per bit
 
     def simhash_batch(self, texts: list[str]) -> np.ndarray:
         words: list[str] = []
@@ -655,13 +703,31 @@ class SimHasher:
             words.extend(toks)
             offsets[d + 1] = len(words)
         h = pd.util.hash_array(np.array(words, dtype=object))
-        bits = ((h[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(
-            np.int32
-        )
-        contrib = 2 * bits - 1  # ±1 per bit
-        sums = np.add.reduceat(contrib, offsets[:-1], axis=0)
-        sh = (sums > 0).astype(np.uint64)
-        return (sh << self.shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        out = np.empty(len(texts), dtype=np.uint64)
+        cap = self.MAX_CHUNK_WORDS
+        d0 = 0
+        while d0 < len(texts):
+            d1 = d0
+            while d1 < len(texts) and offsets[d1 + 1] - offsets[d0] <= cap:
+                d1 += 1
+            if d1 == d0:
+                # one doc alone exceeds the cap: accumulate its 64 bit
+                # sums over word sub-chunks (sums are additive)
+                total = np.zeros(64, dtype=np.int64)
+                for s in range(int(offsets[d0]), int(offsets[d0 + 1]), cap):
+                    e = min(s + cap, int(offsets[d0 + 1]))
+                    total += self._bit_sums(h[s:e]).sum(axis=0, dtype=np.int64)
+                sh = (total > 0).astype(np.uint64)
+                out[d0] = (sh << self.shifts).sum(dtype=np.uint64)
+                d0 += 1
+                continue
+            contrib = self._bit_sums(h[offsets[d0] : offsets[d1]])
+            cuts = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
+            sums = np.add.reduceat(contrib, cuts, axis=0)
+            sh = (sums > 0).astype(np.uint64)
+            out[d0:d1] = (sh << self.shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            d0 = d1
+        return out
 
     def simhash(self, text: str) -> int:
         return int(self.simhash_batch([text])[0])

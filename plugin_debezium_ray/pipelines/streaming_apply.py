@@ -264,6 +264,8 @@ def run_streaming(
     num_shards: int | None = None,
     decode_concurrency: int | None = None,
     compact_rows: int = 400_000,
+    estimated_events: int | None = None,
+    small_job_threshold: int = 500_000,
 ) -> "object":
     """Barrier-free replay: decode tasks push pre-reduced slices to the
     shard actors while the stream flows; ONE atomic commit at the end.
@@ -275,7 +277,20 @@ def run_streaming(
     replay schema-history DDL from BEFORE the stream applies (ST3);
     ``False`` (default) skips the scan for DDL-free sources; ``None``
     derives from ``envelopes`` (un-pruned — prefer passing the pruned
-    read)."""
+    read).
+
+    ``estimated_events``: a cheap caller-side size hint (parquet
+    metadata row count — NOT ``ds.count()``, which would execute a
+    transformed pipeline twice).  Below ``small_job_threshold`` the job
+    delegates to the sort-path ``job.run`` — the shard-actor startup and
+    the two ``ray.get`` barriers dominate tiny inputs (measured 1.59 s
+    vs 0.90 s on a 120-row final table), while the streaming engine wins
+    8.7× at 50M events.  Identical lake layout either way."""
+    if (
+        estimated_events is not None
+        and estimated_events < small_job_threshold
+    ):
+        return job.run(envelopes, snapshot=snapshot, ddl_source=ddl_source)
     from plugin_debezium_ray.pipelines.replay import ReplayResult
     from plugin_debezium_ray.state.schema_registry import (
         SchemaRegistry,

@@ -262,6 +262,18 @@ class TestDedupDistributed:
         batch = h.simhash_batch(texts)
         assert [h.simhash(t) for t in texts] == [int(x) for x in batch]
 
+    def test_simhash_chunked_batch(self):
+        """Chunking across the MAX_CHUNK_WORDS boundary is lossless,
+        including the single-doc-over-cap sub-chunk path (the round-2
+        unbounded (words × 64) bit-matrix fix)."""
+        h = dedup.SimHasher()
+        texts = ["tok%d word sample " % i * 30 for i in range(8)]
+        texts.append("giant doc " * 500)  # one doc far above a tiny cap
+        full = h.simhash_batch(texts)
+        h.MAX_CHUNK_WORDS = 40  # force multi-doc chunks AND sub-chunking
+        assert (h.simhash_batch(texts) == full).all()
+        assert [h.simhash(t) for t in texts] == [int(x) for x in full]
+
     def test_minhash_signatures_batch_matches_single(self):
         h = dedup.MinHasher(num_perm=32, k=3)
         texts = [d[1] for d in DOCS]
