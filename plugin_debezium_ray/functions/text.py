@@ -145,7 +145,14 @@ class LangId:
 
 
 def md5_fingerprint_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
-    """Exact content fingerprint (md5 hex) — matches DuckDB ``md5(text)``."""
+    """Exact content fingerprint (md5 hex) — matches DuckDB ``md5(text)``.
+
+    This is the SQL-COMPATIBILITY path: the per-row ``hashlib`` loop is
+    inherent to the md5 contract and is the slowest text stage at scale.
+    Scale users should prefer the vectorized keyed hashes —
+    ``RollingFingerprint`` (edit-robust winnowing) or
+    ``dedup.add_content_hash`` (exact two-lane 128-bit) — which hash
+    whole batches in a handful of ``pd.util.hash_array`` calls."""
     vals = t[text_col].to_pylist()
     fp = [
         None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()

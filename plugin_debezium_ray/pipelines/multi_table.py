@@ -141,8 +141,11 @@ def make_project_multi(
 
     def project_multi(t: pa.Table) -> pa.Table:
         op = t["op"]
-        keep = pc.and_(pc.is_valid(op), pc.invert(
-            pc.fill_null(pc.equal(op, "ddl"), False)))
+        # same op contract as project_for_apply: DDL and keyless op=m
+        # message events never reach the keyed apply
+        keep = pc.and_(pc.is_valid(op), pc.and_(
+            pc.invert(pc.fill_null(pc.equal(op, "ddl"), False)),
+            pc.invert(pc.fill_null(pc.equal(op, "m"), False))))
         if config.max_lsn is not None:
             keep = pc.and_(keep, pc.less_equal(t["lsn"], config.max_lsn))
         t = t.filter(keep)
@@ -161,12 +164,13 @@ def make_project_multi(
         )
         key_struct = t["key"].combine_chunks()
         kt = key_struct.type
+        kflat = key_struct.flatten()  # honors null key structs (op=m)
         for i in range(kt.num_fields):
             kn = kt.field(i).name
             cols[kn] = (
-                pc.coalesce(cols[kn], key_struct.field(i))
+                pc.coalesce(cols[kn], kflat[i])
                 if kn in cols
-                else key_struct.field(i)
+                else kflat[i]
             )
         out = pa.table(
             {
@@ -370,8 +374,7 @@ def replay_multi_table_streaming(
 
     from plugin_debezium_ray.pipelines.streaming_apply import (
         MergeShard,
-        _push_lanes,
-        _slice_push_id,
+        make_decode_push,
     )
 
     t0 = time.monotonic()
@@ -400,36 +403,18 @@ def replay_multi_table_streaming(
         num_shards = max(2, min(config.num_buckets, cpus))
     per = (config.num_buckets + num_shards - 1) // num_shards
     shards = [
-        MergeShard.options(num_cpus=0.5).remote(
+        MergeShard.options(
+            # SPREAD: one pool's shards land across cluster nodes (the
+            # multi-node claim of the design, streaming_apply.py:26-28)
+            num_cpus=0.5, scheduling_strategy="SPREAD",
+        ).remote(
             config.key_cols, lo, min(lo + per, config.num_buckets),
             compact_rows=compact_rows, stream_col=STREAM_COL,
         )
         for lo in range(0, config.num_buckets, per)
     ]
     shard_of = np.arange(config.num_buckets) // per
-
-    def decode_and_push(t: pa.Table) -> pa.Table:
-        out = project_multi(t)
-        n = len(out)
-        if n:
-            buckets = out[BUCKET_COL].to_numpy()
-            sid = shard_of[buckets]
-            order = np.argsort(sid, kind="stable")
-            cuts = np.searchsorted(
-                sid[order], np.arange(len(shards) + 1), side="left"
-            )
-            lsn_np = out["lsn"].to_numpy()
-            seq_np = out["seq"].to_numpy()
-            lane_a, lane_b = _push_lanes(lsn_np, seq_np)
-            refs = []
-            for s in range(len(shards)):
-                if cuts[s + 1] > cuts[s]:
-                    idx = order[cuts[s] : cuts[s + 1]]
-                    sl = out.take(pa.array(idx))
-                    pid = _slice_push_id(lane_a, lane_b, lsn_np, idx)
-                    refs.append(shards[s].ingest.remote(sl, pid))
-            ray.get(refs)
-        return pa.table({"n": pa.array([n], pa.int64())})
+    decode_and_push = make_decode_push(project_multi, shards, shard_of)
 
     envelopes.map_batches(
         decode_and_push, batch_format="pyarrow", batch_size=config.batch_size

@@ -481,6 +481,19 @@ class ReplayJob:
             ddl_source=ddl_source, **kw
         )
 
+    def run_streaming_segments(
+        self, segments: "list", **kw
+    ) -> "list[ReplayResult]":
+        """ON_EACH_BATCH commit cadence on the streaming engine: all
+        segments flow through ONE long-lived shard pool, one atomic
+        manifest commit per segment (the multi-commit soak surface —
+        see ``pipelines/streaming_apply.run_streaming_segments``)."""
+        from plugin_debezium_ray.pipelines.streaming_apply import (
+            run_streaming_segments,
+        )
+
+        return run_streaming_segments(self, segments, **kw)
+
     # ------------------------------------------------------------ poll
 
     def poll(self, envelopes: "ray.data.Dataset", **kw) -> ReplayResult | None:

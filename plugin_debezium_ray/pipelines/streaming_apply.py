@@ -89,6 +89,40 @@ def _slice_push_id(
     )
 
 
+def make_decode_push(proj, shards, shard_of: np.ndarray):
+    """Shared decode-task body of the push shuffle: project/pre-reduce a
+    batch, slice it by owning shard (one stable argsort + searchsorted),
+    and push each slice with its content-addressed id; the task completes
+    only after every push is owned by its shard (backpressure + retry
+    safety).  Used by ``run_streaming``, ``run_streaming_segments`` and
+    the multi-table single pass."""
+
+    def decode_and_push(t: pa.Table) -> pa.Table:
+        out = proj(t)
+        n = len(out)
+        if n:
+            buckets = out[BUCKET_COL].to_numpy()
+            sid = shard_of[buckets]
+            order = np.argsort(sid, kind="stable")
+            cuts = np.searchsorted(
+                sid[order], np.arange(len(shards) + 1), side="left"
+            )
+            lsn_np = out["lsn"].to_numpy()
+            seq_np = out["seq"].to_numpy()
+            lane_a, lane_b = _push_lanes(lsn_np, seq_np)
+            refs = []
+            for s in range(len(shards)):
+                if cuts[s + 1] > cuts[s]:
+                    idx = order[cuts[s] : cuts[s + 1]]
+                    sl = out.take(pa.array(idx))
+                    pid = _slice_push_id(lane_a, lane_b, lsn_np, idx)
+                    refs.append(shards[s].ingest.remote(sl, pid))
+            ray.get(refs)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    return decode_and_push
+
+
 @ray.remote
 class MergeShard:
     """Owns buckets ``[lo, hi)``: accumulates pre-reduced event slices,
@@ -139,6 +173,11 @@ class MergeShard:
             if self.buffered > self.compact_rows:
                 self._compact()
         return 0
+
+    def node_id(self) -> str:
+        """Ray node hosting this shard (placement evidence: with the
+        SPREAD strategy, shards of one pool land across cluster nodes)."""
+        return ray.get_runtime_context().get_node_id()
 
     def counters(self) -> dict:
         """ST6-style shard metrics (events seen, distinct pushes,
@@ -193,6 +232,7 @@ class MergeShard:
             return []
         merged = pa.concat_tables(self.tables, promote_options="default")
         self.tables = []
+        self.buffered = 0  # pool may live on across commits (soak runs)
         bm = BucketMerge(
             self.key_cols,
             out_dir,
@@ -226,6 +266,7 @@ class MergeShard:
             return []
         merged = pa.concat_tables(self.tables, promote_options="default")
         self.tables = []
+        self.buffered = 0
         streams = merged[self.stream_col].combine_chunks().to_numpy(
             zero_copy_only=False
         )
@@ -331,7 +372,11 @@ def run_streaming(
     # shards are lightweight during ingest; fractional CPU keeps slots
     # free for decode until finalize needs them
     shards = [
-        MergeShard.options(num_cpus=0.5).remote(
+        MergeShard.options(
+            # SPREAD: one pool's shards land across cluster nodes (the
+            # multi-node claim of the design, streaming_apply.py:26-28)
+            num_cpus=0.5, scheduling_strategy="SPREAD",
+        ).remote(
             cfg.key_cols, lo, min(lo + per, cfg.num_buckets),
             compact_rows=compact_rows,
         )
@@ -347,33 +392,7 @@ def run_streaming(
         added_columns=reg.added_columns(),
     )
     shard_of = np.arange(cfg.num_buckets) // per
-
-    def decode_and_push(t: pa.Table) -> pa.Table:
-        out = proj(t)
-        n = len(out)
-        if n:
-            buckets = out[BUCKET_COL].to_numpy()
-            sid = shard_of[buckets]
-            order = np.argsort(sid, kind="stable")
-            sorted_sid = sid[order]
-            cuts = np.searchsorted(
-                sorted_sid, np.arange(len(shards) + 1), side="left"
-            )
-            lsn_np = out["lsn"].to_numpy()
-            seq_np = out["seq"].to_numpy()
-            lane_a, lane_b = _push_lanes(lsn_np, seq_np)
-            refs = []
-            for s in range(len(shards)):
-                if cuts[s + 1] > cuts[s]:
-                    idx = order[cuts[s] : cuts[s + 1]]
-                    sl = out.take(pa.array(idx))
-                    # content-addressed push id — identical on a task retry
-                    pid = _slice_push_id(lane_a, lane_b, lsn_np, idx)
-                    refs.append(shards[s].ingest.remote(sl, pid))
-            # await pushes: the task doesn't complete until its rows are
-            # owned by the shards (backpressure + retry safety)
-            ray.get(refs)
-        return pa.table({"n": pa.array([n], pa.int64())})
+    decode_and_push = make_decode_push(proj, shards, shard_of)
 
     ds = envelopes
     if cfg.max_records is not None:
@@ -402,6 +421,9 @@ def run_streaming(
         for s in shards
     ]
     stats_rows = [r for rows in ray.get(stats_refs) for r in rows]
+    # placement lineage: distinct Ray nodes hosting the shard pool (the
+    # SPREAD strategy's multi-node evidence, recorded per commit)
+    shard_nodes = len(set(ray.get([s.node_id.remote() for s in shards])))
     for s in shards:
         ray.kill(s)
 
@@ -415,6 +437,7 @@ def run_streaming(
             "wall_seconds": time.monotonic() - t0,
             "streaming_apply": True,
             "num_shards": len(shards),
+            "shard_nodes": shard_nodes,
         },
     )
     mpath = ckpt.save(manifest)
@@ -428,3 +451,134 @@ def run_streaming(
         time.monotonic() - t0,
         metrics=manifest["metrics"],
     )
+
+
+def run_streaming_segments(
+    job,
+    segments: "list",
+    *,
+    num_shards: int | None = None,
+    decode_concurrency: int | None = None,
+    compact_rows: int = 400_000,
+) -> "list":
+    """ON_EACH_BATCH commit cadence on the streaming engine: N WAL
+    segments flow through ONE long-lived shard pool with an atomic
+    manifest commit after each segment (the reference's per-batch offset
+    commit, `AbstractDebeziumTask.java:640-693`, on the actor-pool path —
+    the sort/pipelined paths already had it via ``run_segments``).
+
+    The pool survives across commits, so this is also the multi-commit
+    soak surface: ``seen_pushes`` accumulates one entry per decode push
+    for the session, incremental compaction keeps running, and each
+    ``finalize`` drains the buffered rows into that segment's commit.
+    Returns one ``ReplayResult`` per segment; state after N commits is
+    identical to N separate ``run_streaming`` calls (and to the sort
+    path) — same lake bytes, same manifests-chain semantics."""
+    from plugin_debezium_ray.pipelines.replay import ReplayResult
+    from plugin_debezium_ray.state.schema_registry import SchemaRegistry
+    from plugin_debezium_ray.envelope import payload_fields_of
+
+    cfg: CaptureConfig = job.cfg
+    ckpt = job.ckpt
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if num_shards is None:
+        num_shards = max(2, min(cfg.num_buckets, cpus))
+    per = (cfg.num_buckets + num_shards - 1) // num_shards
+    shards = [
+        MergeShard.options(
+            # SPREAD: one pool's shards land across cluster nodes (the
+            # multi-node claim of the design, streaming_apply.py:26-28)
+            num_cpus=0.5, scheduling_strategy="SPREAD",
+        ).remote(
+            cfg.key_cols, lo, min(lo + per, cfg.num_buckets),
+            compact_rows=compact_rows,
+        )
+        for lo in range(0, cfg.num_buckets, per)
+    ]
+    shard_of = np.arange(cfg.num_buckets) // per
+    data_dir = os.path.join(job.table_dir, "data")
+    results = []
+    try:
+        for seg in segments:
+            t0 = time.monotonic()
+            parent = ckpt.restore()
+            ledger = ckpt.ledger() if parent else {}
+            prior_paths = ckpt.bucket_paths() if parent else {}
+            prior_fps = ckpt.bucket_fingerprints() if parent else {}
+            version = (int(parent["version"]) + 1) if parent else 1
+
+            sch = seg.schema()
+            fields = pa.schema(
+                [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+            )
+            base_fields = [
+                (f.name, str(f.type)) for f in payload_fields_of(fields)
+            ]
+            reg = (
+                SchemaRegistry.from_snapshot(parent["schema"])
+                if (parent or {}).get("schema")
+                else SchemaRegistry(base_fields)
+            )
+            proj = project_for_apply(
+                cfg.key_cols,
+                cfg.num_buckets,
+                ledger=ledger,
+                max_lsn=cfg.max_lsn,
+                renames=reg.rename_map(),
+                added_columns=reg.added_columns(),
+            )
+            decode_and_push = make_decode_push(proj, shards, shard_of)
+            map_kw = {}
+            if decode_concurrency is not None:
+                map_kw["concurrency"] = decode_concurrency
+            seg.map_batches(
+                decode_and_push, batch_format="pyarrow",
+                batch_size=cfg.batch_size, **map_kw,
+            ).sum("n")
+
+            commit_id = f"v{version:06d}"
+            stats_refs = [
+                s.finalize.remote(
+                    data_dir,
+                    commit_id,
+                    prior_paths=prior_paths,
+                    prior_fingerprints=prior_fps,
+                    ledger=ledger,
+                    fingerprint_col=job.fingerprint_col,
+                )
+                for s in shards
+            ]
+            stats_rows = [r for rows in ray.get(stats_refs) for r in rows]
+            manifest = build_manifest(
+                version=version,
+                connector_id=job.connector_id,
+                stats_rows=stats_rows,
+                parent=parent,
+                schema_snapshot=reg.snapshot(),
+                extra_metrics={
+                    "wall_seconds": time.monotonic() - t0,
+                    "streaming_apply": True,
+                    "num_shards": len(shards),
+                    "shard_nodes": len(
+                        set(ray.get([s.node_id.remote() for s in shards]))
+                    ),
+                    "streaming_session_commit": len(results) + 1,
+                },
+            )
+            mpath = ckpt.save(manifest)
+            results.append(
+                ReplayResult(
+                    version,
+                    int(manifest["metrics"]["events_applied"]),
+                    int(manifest["metrics"]["events_seen"]),
+                    int(manifest["metrics"]["buckets_touched"]),
+                    mpath,
+                    job.table_dir,
+                    time.monotonic() - t0,
+                    metrics=manifest["metrics"],
+                )
+            )
+    finally:
+        for s in shards:
+            ray.kill(s)
+    return results

@@ -25,7 +25,9 @@ from plugin_debezium_ray.envelope import (
     OP_CREATE,
     OP_DDL,
     OP_DELETE,
+    OP_MESSAGE,
     OP_READ,
+    OP_TRUNCATE,
     OP_UPDATE,
     envelope_schema,
 )
@@ -41,11 +43,26 @@ _P_CREATE = 0.15
 _P_DELETE = 0.30
 
 
-def _ops_of(seed: int, ev: np.ndarray) -> np.ndarray:
+def _ops_of(
+    seed: int,
+    ev: np.ndarray,
+    p_truncate: float = 0.0,
+    p_message: float = 0.0,
+) -> np.ndarray:
+    """Op per event index.  ``p_truncate``/``p_message`` carve op=t /
+    op=m bands out of the update mass (defaults 0 keep every existing
+    seed's stream identical); all six reference ops are then exercised
+    end-to-end (c/u/d/r from the base stream + snapshot, t/m here)."""
     u = uniform01(seed, ev, stream=10)
     ops = np.full(len(ev), OP_UPDATE, dtype=object)
     ops[u < _P_CREATE] = OP_CREATE
     ops[(u >= _P_CREATE) & (u < _P_DELETE)] = OP_DELETE
+    if p_truncate:
+        hi = _P_DELETE + p_truncate
+        ops[(u >= _P_DELETE) & (u < hi)] = OP_TRUNCATE
+    if p_message:
+        lo = _P_DELETE + p_truncate
+        ops[(u >= lo) & (u < lo + p_message)] = OP_MESSAGE
     return ops
 
 
@@ -81,35 +98,44 @@ def _gen_batch(
     txn_size: int,
     base_lsn: int,
     key_skew: bool,
+    p_truncate: float = 0.0,
+    p_message: float = 0.0,
 ) -> pa.Table:
     """Envelope rows for global event indices ``ev`` (vectorized)."""
     n = len(ev)
-    ops = _ops_of(seed, ev)
+    ops = _ops_of(seed, ev, p_truncate, p_message)
     key_idx = _keys_of(seed, ev, n_keys, key_skew)
     lsn = base_lsn + ev // txn_size
     seq = ev % txn_size
     ts_ms = 1_700_000_000_000 + ev * 13
 
-    # after image: version = ev+1 (monotone with (lsn,seq)); null for deletes
+    # after image: version = ev+1 (monotone with (lsn,seq)); null for
+    # deletes/truncates (no new row) and messages (no row at all)
     after = row_image(seed, key_idx, ev + 1, n_repos)
-    # before image: synthetic prior-version marker; null for creates
+    # before image: synthetic prior-version marker; null for creates/messages
     before = row_image(seed, key_idx, np.maximum(ev, 1) - 1, n_repos)
-    is_del = ops == OP_DELETE
+    is_del = np.isin(ops, (OP_DELETE, OP_TRUNCATE))
     is_create = ops == OP_CREATE
+    is_msg = ops == OP_MESSAGE
     after = pa.StructArray.from_arrays(
-        after.flatten(), fields=payload_fields(), mask=pa.array(is_del)
+        after.flatten(), fields=payload_fields(), mask=pa.array(is_del | is_msg)
     )
     before = pa.StructArray.from_arrays(
-        before.flatten(), fields=payload_fields(), mask=pa.array(is_create)
+        before.flatten(), fields=payload_fields(),
+        mask=pa.array(is_create | is_msg),
     )
 
-    # key struct must be non-null even when after is null (delete): rebuild
+    # key struct must be non-null even when after is null (delete): rebuild.
+    # op=m logical-decoding messages are keyless (null key struct) — the
+    # reference routes them through format like any envelope
+    # (`ChangeConsumer.java:196-213`) but they address no table row.
     from plugin_debezium_ray.sources.source_table import key_of_index
 
     krepo, kpath = key_of_index(seed, key_idx, n_repos)
     key = pa.StructArray.from_arrays(
         [pa.array(krepo, type=pa.string()), pa.array(kpath, type=pa.string())],
         names=["repo", "path"],
+        mask=pa.array(is_msg) if is_msg.any() else None,
     )
     txn = pa.StructArray.from_arrays(
         [
@@ -150,6 +176,8 @@ def binlog(
     base_lsn: int = 1,
     key_skew: bool = False,
     override_num_blocks: int | None = None,
+    p_truncate: float = 0.0,
+    p_message: float = 0.0,
 ) -> "ray.data.Dataset":
     """The change-event stream as a Dataset (distributed generation)."""
     n_repos = n_repos or max(1, n_keys // 50)
@@ -164,6 +192,8 @@ def binlog(
             txn_size=txn_size,
             base_lsn=base_lsn,
             key_skew=key_skew,
+            p_truncate=p_truncate,
+            p_message=p_message,
         )
 
     ds = ray.data.range(n_events, override_num_blocks=override_num_blocks)
@@ -275,12 +305,16 @@ def oracle_apply(
     txn_size: int = 4,
     max_lsn: int | None = None,
     key_skew: bool = False,
+    p_truncate: float = 0.0,
+    p_message: float = 0.0,
 ) -> dict[tuple[str, str], dict]:
     """Single-threaded pure-Python replay — the parity oracle.
 
     Mirrors the reference's effective sink semantics (CaptureTest golden
     rows, `CaptureTest.java:80-99`): last-write-wins per key in (lsn, seq)
-    order; op=d removes the key.  Returns {(repo, path): row_dict}.
+    order; op=d and op=t remove the key (truncate marks deleted,
+    `AbstractDebeziumTask.java:813-817`); keyless op=m messages mutate
+    nothing.  Returns {(repo, path): row_dict}.
     """
     n_repos = n_repos or max(1, n_keys // 50)
     state: dict[tuple[str, str], dict] = {}
@@ -293,7 +327,7 @@ def oracle_apply(
     lsn = base_lsn + ev // txn_size
     if max_lsn is not None:
         ev = ev[lsn <= max_lsn]
-    ops = _ops_of(seed, ev)
+    ops = _ops_of(seed, ev, p_truncate, p_message)
     key_idx = _keys_of(seed, ev, n_keys, key_skew)
     img = row_image(seed, key_idx, ev + 1, n_repos)
     rows = img.to_pylist()
@@ -302,8 +336,10 @@ def oracle_apply(
     krepo, kpath = key_of_index(seed, key_idx, n_repos)
     for i in range(len(ev)):  # sequential replay, commit order
         k = (krepo[i], kpath[i])
-        if ops[i] == OP_DELETE:
+        if ops[i] in (OP_DELETE, OP_TRUNCATE):
             state.pop(k, None)
+        elif ops[i] == OP_MESSAGE:
+            continue
         else:
             state[k] = rows[i]
     return state

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from plugin_debezium_ray.envelope import DELETED_OPS, OP_DDL
+from plugin_debezium_ray.envelope import DELETED_OPS, OP_DDL, OP_MESSAGE
 
 BUCKET_COL = "_bucket"
 WEIGHT_COL = "_weight"
@@ -121,12 +121,13 @@ def project_for_apply(
         cols = _evolve_cols(cols, n, renames, added_columns)
         key = t["key"].combine_chunks()
         kt = key.type
+        kflat = key.flatten()  # honors a null key struct (.field leaks values)
         for i in range(kt.num_fields):
             kname = kt.field(i).name
             cols[kname] = (
-                pc.coalesce(cols[kname], key.field(i))
+                pc.coalesce(cols[kname], kflat[i])
                 if kname in cols
-                else key.field(i)
+                else kflat[i]
             )
         out = pa.table(
             {
@@ -143,11 +144,19 @@ def project_for_apply(
         return out.append_column(BUCKET_COL, bucket), key
 
     def fn(t: pa.Table) -> pa.Table:
-        # drop non-envelope rows (DDL / tombstones): op must be a data op
+        # drop non-envelope rows (DDL / tombstones): op must be a data op.
+        # op=m (logical decoding message, `ChangeConsumer.java:196-213`)
+        # flows through format/filter like any envelope but carries no
+        # key or row image — it is not a data mutation, so the keyed
+        # apply skips it (op=t truncate DOES apply: DELETED_OPS marks it
+        # deleted, `AbstractDebeziumTask.java:813-817`).
         op = t["op"]
         keep = pc.and_(
             pc.is_valid(op),
-            pc.invert(pc.fill_null(pc.equal(op, OP_DDL), False)),
+            pc.and_(
+                pc.invert(pc.fill_null(pc.equal(op, OP_DDL), False)),
+                pc.invert(pc.fill_null(pc.equal(op, OP_MESSAGE), False)),
+            ),
         )
         if max_lsn is not None:
             keep = pc.and_(keep, pc.less_equal(t["lsn"], max_lsn))

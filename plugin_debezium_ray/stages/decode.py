@@ -231,13 +231,17 @@ class EnvelopeDecoder:
         fields = [ptype.field(i) for i in range(ptype.num_fields)]
         flat = img.flatten()
         cols = dict(zip([f.name for f in fields], flat))
-        # addKey: merge key fields into the row (ChangeConsumer.java:276-280)
+        # addKey: merge key fields into the row (ChangeConsumer.java:276-280).
+        # flatten() (not .field()) so a NULL key struct — keyless op=m
+        # message events — yields null key columns instead of leaking the
+        # raw child values under the mask
         if self.cfg.key == KeyHandling.ADD_FIELD:
             key = _combine(t["key"])
             kt = key.type
+            kflat = key.flatten()
             for i in range(kt.num_fields):
                 kname = kt.field(i).name
-                kval = key.field(i)
+                kval = kflat[i]
                 cols[kname] = (
                     pc.coalesce(cols[kname], kval) if kname in cols else kval
                 )

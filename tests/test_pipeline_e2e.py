@@ -273,3 +273,79 @@ class TestLineageMetrics:
         assert m["metrics"]["events_seen"] == N_EVENTS + N_KEYS
         last = max(tuple(v) for v in m["ledger"].values())
         assert last[0] == (N_EVENTS - 1) // 4 + 1
+
+
+class TestAllSixOps:
+    """op=t (truncate) and op=m (message) through the FULL apply path
+    and the format path — VERDICT r2 next-round #2.  The reference lets
+    both flow through format/filter like any envelope
+    (`ChangeConsumer.java:196-213`); truncate marks deleted
+    (`AbstractDebeziumTask.java:813-817`); keyless messages mutate no
+    table row."""
+
+    KW = dict(seed=SEED, p_truncate=0.05, p_message=0.05)
+
+    def _env(self):
+        return binlog(N_EVENTS, N_KEYS, **self.KW)
+
+    def test_apply_parity_with_truncate_and_message(self, tmp_path):
+        oracle = oracle_apply(N_EVENTS, N_KEYS, **self.KW)
+        a = ReplayJob(CaptureConfig(num_buckets=8), str(tmp_path / "a"))
+        res_a = a.run(self._env(), snapshot=snapshot_envelopes(N_KEYS, seed=SEED))
+        assert_parity(a, oracle)
+        # streaming engine: same oracle, byte-identical lake
+        b = ReplayJob(CaptureConfig(num_buckets=8), str(tmp_path / "b"))
+        res_b = b.run_streaming(
+            self._env(), snapshot=snapshot_envelopes(N_KEYS, seed=SEED)
+        )
+        assert_parity(b, oracle)
+        assert data_file_hashes(str(tmp_path / "a")) == data_file_hashes(
+            str(tmp_path / "b")
+        )
+        # keyless op=m events are not data mutations: both engines agree
+        # on consumed-event accounting (snapshot + all non-m data ops)
+        from plugin_debezium_ray.sources.binlog import _ops_of
+        import numpy as np
+
+        ops = _ops_of(SEED, np.arange(N_EVENTS), 0.05, 0.05)
+        n_msg = int((ops == "m").sum())
+        assert n_msg > 0 and (ops == "t").sum() > 0  # stream really has them
+        assert res_a.events_seen == N_EVENTS + N_KEYS - n_msg
+        assert res_b.events_seen == res_a.events_seen
+
+    def test_message_flows_through_format_truncate_sets_deleted(self):
+        """Decode parity for the two ops: op=m rows survive INLINE
+        formatting (null image, null key fields, deleted=false); op=t
+        rows come out deleted=true."""
+        import numpy as np
+        import pyarrow.compute as pc
+        from plugin_debezium_ray.sources.binlog import _gen_batch
+        from plugin_debezium_ray.stages.decode import EnvelopeDecoder
+        from plugin_debezium_ray.config import MetadataHandling
+
+        t = _gen_batch(
+            np.arange(2000), seed=SEED, n_keys=100, n_repos=4, txn_size=4,
+            base_lsn=1, key_skew=False, p_truncate=0.05, p_message=0.05,
+        )
+        in_ops = t["op"].to_pylist()
+        dec = EnvelopeDecoder(
+            CaptureConfig(key_cols=("repo", "path"),
+                          metadata=MetadataHandling.ADD_FIELD)
+        )
+        out = dec(t)
+        assert len(out) == len(t)  # every envelope (incl. m/t) flows
+        out_ops = out["metadata"].combine_chunks().field("op").to_pylist()
+        assert out_ops == in_ops
+        deleted = np.array(out["deleted"].to_pylist())
+        want_deleted = np.isin(in_ops, ["d", "t"])
+        assert (deleted == want_deleted).all()
+        # message rows: keyless and imageless after formatting
+        is_msg = np.array(in_ops) == "m"
+        assert is_msg.sum() > 0
+        repo = np.array(out["repo"].to_pylist(), dtype=object)
+        content = np.array(out["content"].to_pylist(), dtype=object)
+        assert all(v is None for v in repo[is_msg])
+        assert all(v is None for v in content[is_msg])
+        # truncate rows keep their key (per-key truncate == delete here)
+        is_tr = np.array(in_ops) == "t"
+        assert all(v is not None for v in repo[is_tr])

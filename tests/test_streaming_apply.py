@@ -190,3 +190,54 @@ class TestStreamingApply:
         ref_res = ref.run(binlog(3000, 50, seed=3), ddl_source=False)
         assert _state(job) == _state(ref)
         assert res.events_seen == ref_res.events_seen == 3000
+
+
+class TestStreamingSoak:
+    """Multi-commit streaming sessions (VERDICT r2 #7): N sequential WAL
+    segments through ONE shard pool, one atomic commit per segment —
+    exercises seen_pushes growth and incremental compaction over time."""
+
+    def _segments(self, n=3):
+        return [
+            binlog(1200, 150, seed=SEED, base_lsn=1 + 10_000 * i)
+            for i in range(n)
+        ]
+
+    def test_three_commits_one_pool_parity_and_rerun_zero(self, tmp_path):
+        job = ReplayJob(
+            CaptureConfig(num_buckets=8), str(tmp_path / "soak")
+        )
+        results = job.run_streaming_segments(
+            self._segments(), compact_rows=500  # force real compactions
+        )
+        assert [r.version for r in results] == [1, 2, 3]
+        assert all(r.events_seen == 1200 for r in results)
+        assert all(
+            r.metrics.get("streaming_session_commit") == i + 1
+            for i, r in enumerate(results)
+        )
+
+        # parity: one-shot sort path over the union of all segments
+        ref = ReplayJob(CaptureConfig(num_buckets=8), str(tmp_path / "ref"))
+        full = self._segments()[0]
+        for seg in self._segments()[1:]:
+            full = full.union(seg)
+        ref.run(full, ddl_source=False)
+        assert _state(job) == _state(ref)
+
+        # rerun-zero across the SAME multi-commit surface: every segment
+        # is at-or-below the ledger now
+        rerun = job.run_streaming_segments(self._segments())
+        assert [r.events_seen for r in rerun] == [0, 0, 0]
+        assert _state(job) == _state(ref)
+
+    def test_session_state_matches_separate_runs(self, tmp_path):
+        """State after N commits through one pool == N separate
+        run_streaming calls (byte-identical bucket files)."""
+        a = ReplayJob(CaptureConfig(num_buckets=8), str(tmp_path / "a"))
+        a.run_streaming_segments(self._segments())
+        b = ReplayJob(CaptureConfig(num_buckets=8), str(tmp_path / "b"))
+        for seg in self._segments():
+            b.run_streaming(seg)
+        assert _state(a) == _state(b)
+        assert _bucket_hashes(a) == _bucket_hashes(b)
