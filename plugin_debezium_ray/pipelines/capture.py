@@ -50,18 +50,21 @@ def capture_to_files(
     Stream routing follows ``config.split_table`` (M9): OFF → single
     ``data`` stream, DATABASE → per-db, TABLE → per-db.table.
 
-    ``file_format``: ``"parquet"`` (the lake default) or ``"jsonl"`` —
-    one JSON object per record, the reference's actual file contract
-    (Amazon-Ion/JSON rows via ``FileSerde.write``,
-    `ChangeConsumer.java:192`).  JSON-lines writes stream per-stream
-    (Ray's ``write_json`` has no partition_cols), still never
-    materializing a stream on the driver."""
+    ``file_format``: ``"parquet"`` (the lake default), ``"jsonl"`` —
+    one JSON object per record — or ``"ion"`` — Amazon Ion TEXT rows,
+    the reference's actual file contract (``FileSerde.write``,
+    `ChangeConsumer.java:192`) with Ion's typed scalars (unquoted
+    timestamps, ``{{base64}}`` blobs, exact decimals; see ``serde.py``).
+    Both row formats write stream-per-stream, still never materializing
+    a stream on the driver."""
     decoder = EnvelopeDecoder(config)
     decoded = envelopes.map_batches(
         decoder, batch_format="pyarrow", batch_size=config.batch_size
     )
     if file_format == "jsonl":
         return _capture_jsonl(decoded, out_dir)
+    if file_format == "ion":
+        return _capture_ion(decoded, out_dir)
     if file_format != "parquet":
         raise ValueError(f"unknown file_format {file_format!r}")
     kw = {}
@@ -109,5 +112,55 @@ def _capture_jsonl(
         path = os.path.join(out_dir, stream)
         sub.write_json(path)
         counts[stream] = sub.count()
+        uris[stream] = path
+    return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)
+
+
+def _capture_ion(
+    decoded: "ray.data.Dataset", out_dir: str
+) -> CaptureOutput:
+    """One Amazon-Ion-text directory per stream (the reference's
+    FileSerde row contract with typed scalars).
+
+    Each decode block serializes and writes ITS OWN ``.ion`` file inside
+    the map_batches task — distributed, content-addressed file names
+    (idempotent on task retry), nothing row-shaped on the driver."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.serde import ion_lines
+
+    decoded = decoded.materialize()
+    streams = sorted(
+        x for x in decoded.unique(STREAM_COL) if x is not None
+    )
+    counts: dict[str, int] = {}
+    uris: dict[str, str] = {}
+    for stream in streams:
+        path = os.path.join(out_dir, stream)
+        os.makedirs(path, exist_ok=True)
+
+        def write_block(t, s=stream, path=path):
+            rows = t.filter(
+                pc.equal(t[STREAM_COL], s)
+            ).drop_columns([STREAM_COL]).to_pylist()
+            if rows:
+                text = ion_lines(rows)
+                name = hashlib.sha1(text.encode()).hexdigest()[:20]
+                fpath = os.path.join(path, f"{name}.ion")
+                tmp = fpath + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(text)
+                os.replace(tmp, fpath)  # retry-idempotent: same bytes
+            return pa.table({"n": pa.array([len(rows)], pa.int64())})
+
+        counts[stream] = int(
+            decoded.map_batches(
+                write_block, batch_format="pyarrow"
+            ).sum("n")
+            or 0
+        )
         uris[stream] = path
     return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)

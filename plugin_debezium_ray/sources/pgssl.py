@@ -12,10 +12,12 @@ plugin/debezium/postgres/PostgresService.java:30-127`:
   reference uses BouncyCastle for the same conversion, `:92-127`); a
   ``PRIVATE KEY`` block (already PKCS8) is just base64-decoded.
 - Encrypted keys without a password fail with the reference's message
-  (`:100-103`); decrypting WITH a password needs a cipher library that
-  is not in this container, so that path raises ``NotImplementedError``
-  (clearly marked — config validation and the conversion plumbing are
-  real, the cipher is the only gap).
+  (`:100-103`); WITH a password the key is decrypted via the
+  ``cryptography`` library (the BouncyCastle role, `:92-127`) — both
+  traditional ``DEK-Info`` PEM and PKCS8 PBES2 ``ENCRYPTED PRIVATE
+  KEY`` — and re-emitted as unencrypted PKCS8 DER.  A wrong password
+  surfaces as ``ValueError``; environments without the library fall
+  back to an honest ``NotImplementedError``.
 
 No live databases exist in this sandbox, so these feed the connector
 property plan only — but the PEM parsing / PKCS8 wrapping is genuine
@@ -96,10 +98,31 @@ def convert_private_key(pem_text: str, password: str | None = None) -> bytes:
                 "Unable to import private key. Key is encrypted, but no "
                 "password was provided."
             )
-        raise NotImplementedError(
-            "encrypted-key decryption needs a cipher library not present "
-            "in this environment (the reference uses BouncyCastle); "
-            "provide the key unencrypted"
+        # decrypt with `cryptography` (the BouncyCastle role in
+        # PostgresService.java:92-127): covers both the traditional
+        # DEK-Info encrypted PEM and PKCS8 PBES2 ENCRYPTED PRIVATE KEY.
+        # Gated behind import-try so environments without the library
+        # still get the honest NotImplementedError.
+        try:
+            from cryptography.hazmat.primitives import serialization
+        except ImportError:  # pragma: no cover - library is present here
+            raise NotImplementedError(
+                "encrypted-key decryption needs the `cryptography` "
+                "library (the reference uses BouncyCastle); provide the "
+                "key unencrypted"
+            ) from None
+        try:
+            key = serialization.load_pem_private_key(
+                pem_text.encode(), password=password.encode()
+            )
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"Unable to import private key: {e}"
+            ) from e
+        return key.private_bytes(
+            serialization.Encoding.DER,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
         )
     if label == "RSA PRIVATE KEY":  # PKCS1 → PKCS8
         return pkcs1_to_pkcs8(der)

@@ -83,5 +83,59 @@ def test_jsonl_unknown_format_rejected(tmp_path):
     with pytest.raises(ValueError, match="unknown file_format"):
         capture_to_files(
             _env_ds(), CaptureConfig(key_cols=("id",)), str(tmp_path),
-            file_format="ion",
+            file_format="avro",  # ion/jsonl/parquet are the known trio
         )
+
+
+def test_ion_serializer_scalars():
+    """Ion TEXT mapping (public spec): typed scalars the reference's
+    FileSerde preserves and JSON cannot — unquoted timestamps, blobs,
+    exact decimals, e-notation floats, identifier/quoted field names."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from plugin_debezium_ray.serde import ion_dumps
+
+    assert ion_dumps(None) == "null"
+    assert ion_dumps(True) == "true" and ion_dumps(False) == "false"
+    assert ion_dumps(42) == "42"
+    assert ion_dumps(1.5) == "1.5e0"  # float always carries an exponent
+    assert ion_dumps(float("nan")) == "nan"
+    assert ion_dumps(float("inf")) == "+inf"
+    assert ion_dumps(Decimal("1.50")) == "1.50"  # exact, not 1.5
+    assert ion_dumps(Decimal("3")) == "3."  # decimal, not int
+    assert ion_dumps('a"b\n') == '"a\\"b\\n"'
+    naive = dt.datetime(2026, 8, 17, 10, 30, 0, 250000)
+    assert ion_dumps(naive) == "2026-08-17T10:30:00.25-00:00"
+    utc = dt.datetime(2026, 8, 17, 10, 30, tzinfo=dt.timezone.utc)
+    assert ion_dumps(utc) == "2026-08-17T10:30:00Z"
+    assert ion_dumps(dt.date(2026, 8, 17)) == "2026-08-17"
+    assert ion_dumps(b"\x01\x02") == "{{AQI=}}"
+    assert ion_dumps({"ok_name": 1, "needs quote": 2}) == (
+        '{ok_name:1,"needs quote":2}'
+    )
+    assert ion_dumps([1, None, "x"]) == '[1,null,"x"]'
+    # keyword field names must be quoted
+    assert ion_dumps({"null": 1}) == '{"null":1}'
+
+
+def test_ion_format_sink(tmp_path):
+    """`file_format="ion"` writes one Ion-text dir per stream with the
+    same rows as the parquet sink."""
+    import glob
+    import re
+
+    out = capture_to_files(
+        _env_ds(),
+        CaptureConfig(key_cols=("id",)),
+        str(tmp_path),
+        file_format="ion",
+    )
+    assert out.size == 4
+    assert set(out.counts) == {"db1.a", "db1.b"}
+    text = ""
+    for f in glob.glob(str(tmp_path / "db1.a" / "*.ion")):
+        text += open(f).read()
+    ids = sorted(int(m) for m in re.findall(r"\bid:(\d+)", text))
+    assert ids == [1, 2]
+    assert "deleted:" in text
