@@ -153,10 +153,13 @@ class MergeShard:
         Ray task retries (SURVEY.md §7.4 #1).  Distinct slices collide
         with probability ~2^-128 per pair (not never: an XOR fold is not
         injective, so the id also carries row-count and lsn-range).
-        ``seen_pushes`` grows one entry per decode-task push for the
-        run's lifetime — ≈ events / batch_size / num_shards entries, a
-        few MB even at 10^10 events; bound it (LRU keyed on lsn-range)
-        before multi-day streaming sessions exist."""
+        ``seen_pushes`` grows one entry per decode-task push between
+        commits — ≈ segment_events / batch_size / num_shards entries —
+        and is cleared at each ``finalize``: the decode stream's
+        ``sum("n")`` barrier completes before finalize runs, so no task
+        of a committed segment can retry afterwards, which bounds the
+        set for arbitrarily long multi-commit sessions
+        (``run_streaming_segments``)."""
         if push_id is not None:
             if push_id in self.seen_pushes:
                 return 0
@@ -228,6 +231,10 @@ class MergeShard:
     ) -> list[dict]:
         """Merge each owned bucket with prior state, write bucket files,
         return the stats rows (same schema as the sort path)."""
+        # commit boundary: the caller's decode barrier has completed, so
+        # no push of this segment can retry — the dedup set restarts
+        # (bounds seen_pushes for long multi-commit sessions)
+        self.seen_pushes.clear()
         if not self.tables:
             return []
         merged = pa.concat_tables(self.tables, promote_options="default")
@@ -262,6 +269,7 @@ class MergeShard:
         and merge each into ITS stream's lake (per-stream out_dir /
         commit / prior state / ledger — the per-table topic model).
         Returns stats rows tagged with ``stream``."""
+        self.seen_pushes.clear()  # same commit-boundary bound as finalize
         if not self.tables or self.stream_col is None:
             return []
         merged = pa.concat_tables(self.tables, promote_options="default")

@@ -151,6 +151,17 @@ class TestStreamingApply:
         c = _ray.get(shard.counters.remote())
         assert c["events_seen"] == 7  # 3 + 4, counted ONCE
         assert c["pushes"] == 1 and c["buffered"] == 2
+        # commit boundary bounds the dedup set: finalize clears it (no
+        # task of a committed segment can retry past the decode barrier)
+        import tempfile
+
+        with tempfile.TemporaryDirectory(dir="/tmp") as d:
+            _ray.get(shard.finalize.remote(
+                d, "v000001", prior_paths={}, prior_fingerprints={},
+                ledger={}, fingerprint_col="content",
+            ))
+        c2 = _ray.get(shard.counters.remote())
+        assert c2["pushes"] == 0 and c2["buffered"] == 0
         _ray.kill(shard)
 
     def test_schema_evolution_via_ddl_source(self, tmp_path):
