@@ -34,6 +34,7 @@ from plugin_debezium_ray.config import CaptureConfig
 from plugin_debezium_ray.pipelines.replay import ReplayJob, ReplayResult
 from plugin_debezium_ray.stages.apply import (
     BUCKET_COL,
+    _one_chunk,
     WEIGHT_COL,
     BucketMerge,
     _composite_key,
@@ -150,19 +151,19 @@ def make_project_multi(
             keep = pc.and_(keep, pc.less_equal(t["lsn"], config.max_lsn))
         t = t.filter(keep)
         n = len(t)
-        src = t["source"].combine_chunks()
+        src = _one_chunk(t["source"])
         stream = pc.binary_join_element_wise(
             pc.fill_null(src.field("db"), ""),
             pc.fill_null(src.field("table"), ""),
             ".",
         )
-        after = t["after"].combine_chunks()
+        after = _one_chunk(t["after"])
         ptype = after.type
         cols = dict(
             zip([ptype.field(i).name for i in range(ptype.num_fields)],
                 after.flatten())
         )
-        key_struct = t["key"].combine_chunks()
+        key_struct = _one_chunk(t["key"])
         kt = key_struct.type
         kflat = key_struct.flatten()  # honors null key structs (op=m)
         for i in range(kt.num_fields):
@@ -175,8 +176,8 @@ def make_project_multi(
         out = pa.table(
             {
                 STREAM_COL: stream,
-                "lsn": t["lsn"].combine_chunks(),
-                "seq": t["seq"].combine_chunks(),
+                "lsn": _one_chunk(t["lsn"]),
+                "seq": _one_chunk(t["seq"]),
                 "deleted": pc.fill_null(
                     pc.is_in(t["op"], value_set=pa.array(["d", "t"])), False
                 ).combine_chunks()

@@ -59,14 +59,24 @@ APPLY_STATS_FIELDS = [
 ]
 
 
+def _one_chunk(col) -> pa.Array:
+    """ChunkedArray → Array without copying when there is one chunk.
+    ``combine_chunks()`` always concatenates — measured 43 ms per
+    131k-row batch on the wide ``after`` struct (content strings copied)
+    even when the input has a single chunk, which is the normal
+    map_batches case."""
+    if isinstance(col, pa.ChunkedArray):
+        return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    return col
+
+
 def _composite_key(t: pa.Table | dict, key_cols: tuple[str, ...]) -> np.ndarray:
     cols = [
         pc.cast(t[c] if isinstance(t, pa.Table) else t[c], pa.string())
         for c in key_cols
     ]
     joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, _KEY_SEP)
-    if isinstance(joined, pa.ChunkedArray):
-        joined = joined.combine_chunks()
+    joined = _one_chunk(joined)
     return joined.to_numpy(zero_copy_only=False)
 
 
@@ -114,12 +124,12 @@ def project_for_apply(
             if n
             else pa.nulls(0, pa.bool_())
         )
-        after = t["after"].combine_chunks()
+        after = _one_chunk(t["after"])
         ptype = after.type
         names = [ptype.field(i).name for i in range(ptype.num_fields)]
         cols = dict(zip(names, after.flatten()))
         cols = _evolve_cols(cols, n, renames, added_columns)
-        key = t["key"].combine_chunks()
+        key = _one_chunk(t["key"])
         kt = key.type
         kflat = key.flatten()  # honors a null key struct (.field leaks values)
         for i in range(kt.num_fields):
@@ -131,8 +141,8 @@ def project_for_apply(
             )
         out = pa.table(
             {
-                "lsn": t["lsn"].combine_chunks(),
-                "seq": t["seq"].combine_chunks(),
+                "lsn": _one_chunk(t["lsn"]),
+                "seq": _one_chunk(t["seq"]),
                 "deleted": deleted,
                 **cols,
             }
@@ -391,7 +401,7 @@ class BucketMerge:
         col = self.fingerprint_col if self.fingerprint_col in t.column_names else None
         key_arr = pa.array(keys.astype(str))
         if col:
-            vals = pc.fill_null(pc.cast(t[col].combine_chunks(), pa.string()), "")
+            vals = pc.fill_null(pc.cast(_one_chunk(t[col]), pa.string()), "")
             joined = pc.binary_join_element_wise(key_arr, vals, "\x00")
         else:
             joined = pc.binary_join_element_wise(key_arr, pa.scalar(""),

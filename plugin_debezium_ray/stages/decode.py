@@ -35,7 +35,11 @@ STREAM_COL = "_stream"
 
 
 def _combine(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    # zero-copy for the normal single-chunk map_batches case —
+    # combine_chunks() always concatenates (copies wide image structs)
+    if isinstance(col, pa.ChunkedArray):
+        return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    return col
 
 
 class EnvelopeDecoder:
