@@ -116,21 +116,33 @@ def _capture_jsonl(
     return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)
 
 
+def _make_ion_datasink(path: str):
+    """Amazon-Ion-text file datasink on Ray's block-based file machinery
+    (same filename/uniqueness/retry handling as ``write_json``; a
+    content-addressed scheme would collapse two byte-identical blocks
+    into ONE file while counts reported both)."""
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    from plugin_debezium_ray.serde import ion_lines
+
+    class IonDatasink(BlockBasedFileDatasink):
+        def __init__(self):
+            super().__init__(path, file_format="ion")
+
+        def write_block_to_file(self, block, file) -> None:
+            file.write(ion_lines(block.to_arrow().to_pylist()).encode())
+
+    return IonDatasink()
+
+
 def _capture_ion(
     decoded: "ray.data.Dataset", out_dir: str
 ) -> CaptureOutput:
     """One Amazon-Ion-text directory per stream (the reference's
-    FileSerde row contract with typed scalars).
-
-    Each decode block serializes and writes ITS OWN ``.ion`` file inside
-    the map_batches task — distributed, content-addressed file names
-    (idempotent on task retry), nothing row-shaped on the driver."""
-    import hashlib
-
-    import pyarrow as pa
+    FileSerde row contract with typed scalars).  Mirrors the jsonl path:
+    per-stream filtered block-streaming writes, driver sees only stream
+    names and counts."""
     import pyarrow.compute as pc
-
-    from plugin_debezium_ray.serde import ion_lines
 
     decoded = decoded.materialize()
     streams = sorted(
@@ -139,28 +151,14 @@ def _capture_ion(
     counts: dict[str, int] = {}
     uris: dict[str, str] = {}
     for stream in streams:
-        path = os.path.join(out_dir, stream)
-        os.makedirs(path, exist_ok=True)
-
-        def write_block(t, s=stream, path=path):
-            rows = t.filter(
+        sub = decoded.map_batches(
+            lambda t, s=stream: t.filter(
                 pc.equal(t[STREAM_COL], s)
-            ).drop_columns([STREAM_COL]).to_pylist()
-            if rows:
-                text = ion_lines(rows)
-                name = hashlib.sha1(text.encode()).hexdigest()[:20]
-                fpath = os.path.join(path, f"{name}.ion")
-                tmp = fpath + ".tmp"
-                with open(tmp, "w") as f:
-                    f.write(text)
-                os.replace(tmp, fpath)  # retry-idempotent: same bytes
-            return pa.table({"n": pa.array([len(rows)], pa.int64())})
-
-        counts[stream] = int(
-            decoded.map_batches(
-                write_block, batch_format="pyarrow"
-            ).sum("n")
-            or 0
+            ).drop_columns([STREAM_COL]),
+            batch_format="pyarrow",
         )
+        path = os.path.join(out_dir, stream)
+        sub.write_datasink(_make_ion_datasink(path))
+        counts[stream] = sub.count()
         uris[stream] = path
     return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)

@@ -602,15 +602,19 @@ def _idle_bounded(
     _END = object()
     producer_stop = threading.Event()
 
+    def _bounded_put(item) -> None:
+        # block in short slices so a consumer-side stop is observed
+        while not producer_stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
     def produce():
         try:
             for b in batch_iter:
-                while not producer_stop.is_set():
-                    try:
-                        q.put(b, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                _bounded_put(b)
                 if producer_stop.is_set():
                     return
         finally:
@@ -620,42 +624,52 @@ def _idle_bounded(
                     close()
                 except Exception:
                     pass
-            try:
-                q.put_nowait(_END)
-            except queue.Full:
-                pass
+            # the sentinel must be DELIVERED (a dropped put_nowait would
+            # leave the consumer polling a dead stream forever); the
+            # bounded put gives up only when the consumer already left
+            _bounded_put(_END)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    start = last = time.monotonic()
+    start = time.monotonic()
+    last = start  # last instant we began WAITING (idle excludes consume time)
     try:
         while True:
             now = time.monotonic()
             if stop_event is not None and stop_event.is_set():
                 return
-            timeout = None
-            if max_wait is not None:
-                idle_left = max_wait - (now - last)
-                if idle_left <= 0:
-                    return
-                timeout = idle_left
-            if max_dur is not None:
-                wall_left = max_dur - (now - start)
-                if wall_left <= 0:
-                    return
-                timeout = wall_left if timeout is None else min(timeout, wall_left)
-            if stop_event is not None:
-                # poll in short slices so an external stop() is observed
-                # promptly even while blocked waiting for the next batch
-                timeout = 0.2 if timeout is None else min(timeout, 0.2)
+            if max_dur is not None and max_dur - (now - start) <= 0:
+                return
+            # a batch already queued HAS arrived — never an idle timeout
             try:
-                item = q.get(timeout=timeout)
+                item = q.get_nowait()
             except queue.Empty:
-                continue  # loop re-checks every stop condition
+                timeout = None
+                if max_wait is not None:
+                    idle_left = max_wait - (now - last)
+                    if idle_left <= 0:
+                        return
+                    timeout = idle_left
+                if max_dur is not None:
+                    wall_left = max_dur - (now - start)
+                    timeout = (
+                        wall_left if timeout is None else min(timeout, wall_left)
+                    )
+                if stop_event is not None:
+                    # poll in short slices so an external stop() is
+                    # observed promptly while blocked on the queue
+                    timeout = 0.2 if timeout is None else min(timeout, 0.2)
+                try:
+                    item = q.get(timeout=timeout)
+                except queue.Empty:
+                    continue  # loop re-checks every stop condition
             if item is _END:
                 return
-            last = time.monotonic()
             yield item
+            # time the consumer spent processing the batch is NOT idle
+            # time — maxWait means "no batch ARRIVES for that long"
+            # (AbstractDebeziumTask.java:626-630)
+            last = time.monotonic()
     finally:
         producer_stop.set()
         while True:  # free a producer blocked on a full queue

@@ -52,19 +52,32 @@ from plugin_debezium_ray.stages.apply import (
 from plugin_debezium_ray.state.checkpoint import build_manifest
 
 
+# per-lane seed constants (golden-ratio / xxhash-prime style odd values):
+# distinct seeds per (lane, column) make the two lanes genuinely
+# independent mixes.  NOTE: pd.util.hash_array's ``hash_key`` is IGNORED
+# for numeric dtypes (it only keys the object-array path), so "two
+# hash_array calls with different keys" would yield bit-identical lanes —
+# splitmix64 with explicit seeds is the correct keyed primitive here.
+_LANE_SEEDS = (
+    (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xD6E8FEB86659FD93)),
+    (np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9)),
+)
+
+
 def _push_lanes(lsn_np: np.ndarray, seq_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Two independent 64-bit keyed-hash lanes per (lsn, seq) row, for
-    content-addressed push ids.  lsn and seq are hashed SEPARATELY with
-    distinct SipHash keys and mixed with a rotation, so the pair encoding
-    is not subject to the non-injectivity of an arithmetic combine
-    (``lsn*P + seq`` aliases once seq ≥ P)."""
+    content-addressed push ids.  lsn and seq are mixed SEPARATELY
+    (splitmix64 under distinct per-lane seeds) and combined with a
+    rotation, so the pair encoding is not subject to the non-injectivity
+    of an arithmetic combine (``lsn*P + seq`` aliases once seq ≥ P)."""
+    from plugin_debezium_ray.sources.rand import splitmix64
+
     lsn_u = lsn_np.astype(np.uint64)
     seq_u = seq_np.astype(np.uint64)
     lanes = []
-    for lk, sk in (("push-lsn-lane-a-", "push-seq-lane-a-"),
-                   ("push-lsn-lane-b-", "push-seq-lane-b-")):
-        hl = pd.util.hash_array(lsn_u, hash_key=lk)
-        hs = pd.util.hash_array(seq_u, hash_key=sk)
+    for lseed, sseed in _LANE_SEEDS:
+        hl = splitmix64(lsn_u ^ lseed)
+        hs = splitmix64(seq_u ^ sseed)
         lanes.append(hl ^ ((hs << np.uint64(17)) | (hs >> np.uint64(47))))
     return lanes[0], lanes[1]
 
@@ -233,8 +246,10 @@ class MergeShard:
         return the stats rows (same schema as the sort path)."""
         # commit boundary: the caller's decode barrier has completed, so
         # no push of this segment can retry — the dedup set restarts
-        # (bounds seen_pushes for long multi-commit sessions)
+        # (bounds seen_pushes for long multi-commit sessions) and the
+        # events_seen counter rolls over to per-segment accounting
         self.seen_pushes.clear()
+        self.events_seen = 0
         if not self.tables:
             return []
         merged = pa.concat_tables(self.tables, promote_options="default")
@@ -270,6 +285,7 @@ class MergeShard:
         commit / prior state / ledger — the per-table topic model).
         Returns stats rows tagged with ``stream``."""
         self.seen_pushes.clear()  # same commit-boundary bound as finalize
+        self.events_seen = 0
         if not self.tables or self.stream_col is None:
             return []
         merged = pa.concat_tables(self.tables, promote_options="default")
@@ -373,6 +389,31 @@ def run_streaming(
             max_lsn=cfg.max_lsn,
         )
 
+    shards, shard_of = _make_shard_pool(cfg, num_shards, compact_rows)
+
+    ds = envelopes
+    if cfg.max_records is not None:
+        ds = ds.limit(cfg.max_records)
+    if snapshot is not None and parent is None:
+        ds = snapshot.union(ds)
+    try:
+        return _stream_one_commit(
+            job, shards, shard_of, ds, reg,
+            parent=parent, ledger=ledger, prior_paths=prior_paths,
+            prior_fps=prior_fps, version=version,
+            decode_concurrency=decode_concurrency, t0=t0,
+        )
+    finally:
+        for s in shards:
+            ray.kill(s)
+
+
+def _make_shard_pool(
+    cfg: CaptureConfig, num_shards: int | None, compact_rows: int,
+    stream_col: str | None = None,
+):
+    """The MergeShard pool + bucket→shard routing table (shared by
+    ``run_streaming`` and ``run_streaming_segments``)."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
     if num_shards is None:
         num_shards = max(2, min(cfg.num_buckets, cpus))
@@ -386,11 +427,38 @@ def run_streaming(
             num_cpus=0.5, scheduling_strategy="SPREAD",
         ).remote(
             cfg.key_cols, lo, min(lo + per, cfg.num_buckets),
-            compact_rows=compact_rows,
+            compact_rows=compact_rows, stream_col=stream_col,
         )
         for lo in range(0, cfg.num_buckets, per)
     ]
+    return shards, np.arange(cfg.num_buckets) // per
 
+
+def _stream_one_commit(
+    job,
+    shards: list,
+    shard_of: np.ndarray,
+    seg: "ray.data.Dataset",
+    reg,
+    *,
+    parent: dict | None,
+    ledger: dict,
+    prior_paths: dict,
+    prior_fps: dict,
+    version: int,
+    decode_concurrency: int | None,
+    t0: float | None = None,
+    extra_metrics: dict | None = None,
+) -> "object":
+    """Drive ONE segment through the shard pool and commit atomically:
+    decode+push stream → per-shard finalize → manifest save.  The single
+    per-commit engine behind both streaming entry points (the pool
+    outlives the call; the caller owns its lifecycle)."""
+    from plugin_debezium_ray.pipelines.replay import ReplayResult
+
+    cfg: CaptureConfig = job.cfg
+    if t0 is None:
+        t0 = time.monotonic()
     proj = project_for_apply(
         cfg.key_cols,
         cfg.num_buckets,
@@ -399,18 +467,11 @@ def run_streaming(
         renames=reg.rename_map(),
         added_columns=reg.added_columns(),
     )
-    shard_of = np.arange(cfg.num_buckets) // per
     decode_and_push = make_decode_push(proj, shards, shard_of)
-
-    ds = envelopes
-    if cfg.max_records is not None:
-        ds = ds.limit(cfg.max_records)
-    if snapshot is not None and parent is None:
-        ds = snapshot.union(ds)
     map_kw = {}
     if decode_concurrency is not None:
         map_kw["concurrency"] = decode_concurrency
-    ds.map_batches(
+    seg.map_batches(
         decode_and_push, batch_format="pyarrow", batch_size=cfg.batch_size,
         **map_kw,
     ).sum("n")  # drives the stream; returns one scalar
@@ -432,8 +493,6 @@ def run_streaming(
     # placement lineage: distinct Ray nodes hosting the shard pool (the
     # SPREAD strategy's multi-node evidence, recorded per commit)
     shard_nodes = len(set(ray.get([s.node_id.remote() for s in shards])))
-    for s in shards:
-        ray.kill(s)
 
     manifest = build_manifest(
         version=version,
@@ -446,9 +505,10 @@ def run_streaming(
             "streaming_apply": True,
             "num_shards": len(shards),
             "shard_nodes": shard_nodes,
+            **(extra_metrics or {}),
         },
     )
-    mpath = ckpt.save(manifest)
+    mpath = job.ckpt.save(manifest)
     return ReplayResult(
         version,
         int(manifest["metrics"]["events_applied"]),
@@ -476,39 +536,25 @@ def run_streaming_segments(
     the sort/pipelined paths already had it via ``run_segments``).
 
     The pool survives across commits, so this is also the multi-commit
-    soak surface: ``seen_pushes`` accumulates one entry per decode push
-    for the session, incremental compaction keeps running, and each
+    soak surface: ``seen_pushes``/``events_seen`` reset at each commit
+    boundary, incremental compaction keeps running, and each
     ``finalize`` drains the buffered rows into that segment's commit.
     Returns one ``ReplayResult`` per segment; state after N commits is
     identical to N separate ``run_streaming`` calls (and to the sort
-    path) — same lake bytes, same manifests-chain semantics."""
-    from plugin_debezium_ray.pipelines.replay import ReplayResult
+    path) — same lake bytes, same manifests-chain semantics.
+
+    Per-commit work is the SAME engine as ``run_streaming``
+    (``_stream_one_commit``) — only the pool lifecycle and the
+    per-segment checkpoint restore differ here."""
     from plugin_debezium_ray.state.schema_registry import SchemaRegistry
     from plugin_debezium_ray.envelope import payload_fields_of
 
     cfg: CaptureConfig = job.cfg
     ckpt = job.ckpt
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    if num_shards is None:
-        num_shards = max(2, min(cfg.num_buckets, cpus))
-    per = (cfg.num_buckets + num_shards - 1) // num_shards
-    shards = [
-        MergeShard.options(
-            # SPREAD: one pool's shards land across cluster nodes (the
-            # multi-node claim of the design, streaming_apply.py:26-28)
-            num_cpus=0.5, scheduling_strategy="SPREAD",
-        ).remote(
-            cfg.key_cols, lo, min(lo + per, cfg.num_buckets),
-            compact_rows=compact_rows,
-        )
-        for lo in range(0, cfg.num_buckets, per)
-    ]
-    shard_of = np.arange(cfg.num_buckets) // per
-    data_dir = os.path.join(job.table_dir, "data")
+    shards, shard_of = _make_shard_pool(cfg, num_shards, compact_rows)
     results = []
     try:
         for seg in segments:
-            t0 = time.monotonic()
             parent = ckpt.restore()
             ledger = ckpt.ledger() if parent else {}
             prior_paths = ckpt.bucket_paths() if parent else {}
@@ -527,63 +573,15 @@ def run_streaming_segments(
                 if (parent or {}).get("schema")
                 else SchemaRegistry(base_fields)
             )
-            proj = project_for_apply(
-                cfg.key_cols,
-                cfg.num_buckets,
-                ledger=ledger,
-                max_lsn=cfg.max_lsn,
-                renames=reg.rename_map(),
-                added_columns=reg.added_columns(),
-            )
-            decode_and_push = make_decode_push(proj, shards, shard_of)
-            map_kw = {}
-            if decode_concurrency is not None:
-                map_kw["concurrency"] = decode_concurrency
-            seg.map_batches(
-                decode_and_push, batch_format="pyarrow",
-                batch_size=cfg.batch_size, **map_kw,
-            ).sum("n")
-
-            commit_id = f"v{version:06d}"
-            stats_refs = [
-                s.finalize.remote(
-                    data_dir,
-                    commit_id,
-                    prior_paths=prior_paths,
-                    prior_fingerprints=prior_fps,
-                    ledger=ledger,
-                    fingerprint_col=job.fingerprint_col,
-                )
-                for s in shards
-            ]
-            stats_rows = [r for rows in ray.get(stats_refs) for r in rows]
-            manifest = build_manifest(
-                version=version,
-                connector_id=job.connector_id,
-                stats_rows=stats_rows,
-                parent=parent,
-                schema_snapshot=reg.snapshot(),
-                extra_metrics={
-                    "wall_seconds": time.monotonic() - t0,
-                    "streaming_apply": True,
-                    "num_shards": len(shards),
-                    "shard_nodes": len(
-                        set(ray.get([s.node_id.remote() for s in shards]))
-                    ),
-                    "streaming_session_commit": len(results) + 1,
-                },
-            )
-            mpath = ckpt.save(manifest)
             results.append(
-                ReplayResult(
-                    version,
-                    int(manifest["metrics"]["events_applied"]),
-                    int(manifest["metrics"]["events_seen"]),
-                    int(manifest["metrics"]["buckets_touched"]),
-                    mpath,
-                    job.table_dir,
-                    time.monotonic() - t0,
-                    metrics=manifest["metrics"],
+                _stream_one_commit(
+                    job, shards, shard_of, seg, reg,
+                    parent=parent, ledger=ledger, prior_paths=prior_paths,
+                    prior_fps=prior_fps, version=version,
+                    decode_concurrency=decode_concurrency,
+                    extra_metrics={
+                        "streaming_session_commit": len(results) + 1,
+                    },
                 )
             )
     finally:

@@ -106,6 +106,11 @@ def ion_dumps(value) -> str:
     if isinstance(value, float):
         return _float_repr(value)
     if isinstance(value, Decimal):
+        if not value.is_finite():
+            # Ion decimals have no NaN/Inf (only floats do) — degrade the
+            # special values to float notation rather than emit invalid
+            # text like "NaN." (Postgres numeric can legitimately be NaN)
+            return _float_repr(float(value))
         s = str(value)
         # a decimal without point/exponent would read as an int
         if "." not in s and "e" not in s and "E" not in s:

@@ -169,6 +169,15 @@ def build_manifest(
     are never rewritten — the resumable-output layout)."""
     ledger: dict[str, list[int]] = dict((parent or {}).get("ledger", {}))
     buckets: dict[str, dict] = dict((parent or {}).get("buckets", {}))
+    if parent and parent.get("fingerprint_scheme") != FINGERPRINT_SCHEME:
+        # the new manifest is stamped with the CURRENT scheme, so any
+        # old-scheme digest carried forward verbatim would masquerade as
+        # current one commit later and feed the incremental XOR with
+        # garbage.  Untouched buckets keep path/rows but drop their
+        # fingerprint — they recompute in full when next touched.
+        buckets = {
+            k: {**v, "fingerprint": None} for k, v in buckets.items()
+        }
     total_applied = 0
     total_seen = 0
     for r in stats_rows:

@@ -104,6 +104,11 @@ def test_ion_serializer_scalars():
     assert ion_dumps(float("inf")) == "+inf"
     assert ion_dumps(Decimal("1.50")) == "1.50"  # exact, not 1.5
     assert ion_dumps(Decimal("3")) == "3."  # decimal, not int
+    # Ion decimals have no NaN/Inf — specials degrade to float notation
+    # (never invalid text like "NaN."); Postgres numeric can hold NaN
+    assert ion_dumps(Decimal("NaN")) == "nan"
+    assert ion_dumps(Decimal("Infinity")) == "+inf"
+    assert ion_dumps(Decimal("-Infinity")) == "-inf"
     assert ion_dumps('a"b\n') == '"a\\"b\\n"'
     naive = dt.datetime(2026, 8, 17, 10, 30, 0, 250000)
     assert ion_dumps(naive) == "2026-08-17T10:30:00.25-00:00"

@@ -148,6 +148,25 @@ class TestCheckpoint:
         ck.save(m_pre)
         assert ck.bucket_fingerprints() == {}
 
+        # carry-forward laundering guard: a child built over an
+        # old-scheme parent must NOT re-stamp the parent's untouched
+        # fingerprints under the new scheme (they'd feed the incremental
+        # XOR one commit later)
+        child = build_manifest(
+            version=4, connector_id=None,
+            stats_rows=[{"bucket": 1, "rows": 2, "events_seen": 2,
+                         "events_applied": 2, "last_lsn": 9, "last_seq": 0,
+                         "fingerprint": "cd", "path": "/x/b1.parquet",
+                         "apply_seconds": 0.0}],
+            parent=m_old, schema_snapshot={},
+        )
+        assert child["fingerprint_scheme"] == FINGERPRINT_SCHEME
+        assert child["buckets"]["0"]["fingerprint"] is None  # inherited, wiped
+        assert child["buckets"]["0"]["path"] == "/x/b0.parquet"  # still usable
+        assert child["buckets"]["1"]["fingerprint"] == "cd"  # fresh, kept
+        ck.save(child)
+        assert ck.bucket_fingerprints() == {1: "cd"}
+
     def test_ledger_never_regresses(self):
         parent = _manifest(1)  # bucket 0 at (5, 2)
         stats = [

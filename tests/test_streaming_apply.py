@@ -164,6 +164,33 @@ class TestStreamingApply:
         assert c2["pushes"] == 0 and c2["buffered"] == 0
         _ray.kill(shard)
 
+    def test_push_lanes_are_independent(self):
+        """The two push-id hash lanes must be genuinely independent:
+        pd.util.hash_array IGNORES hash_key for numeric dtypes, so a
+        naive two-keyed-calls implementation yields bit-identical lanes
+        (the round-3 review catch — real id strength 2^-64, not 2^-128).
+        splitmix64 under distinct seeds is the keyed primitive."""
+        import numpy as np
+
+        from plugin_debezium_ray.pipelines.streaming_apply import (
+            _push_lanes,
+            _slice_push_id,
+        )
+
+        lsn = np.arange(1, 5001, dtype=np.int64)
+        seq = np.arange(5000, dtype=np.int64) % 7
+        a, b = _push_lanes(lsn, seq)
+        assert (a != b).all()  # no element-wise collision on real data
+        # and the seq column actually contributes (injective pair mix)
+        a2, _ = _push_lanes(lsn, seq + 1)
+        assert (a != a2).all()
+        # id is deterministic and order-independent over the same row set
+        idx = np.arange(100)
+        pid1 = _slice_push_id(a, b, lsn, idx)
+        pid2 = _slice_push_id(a, b, lsn, idx[::-1])
+        assert pid1 == pid2
+        assert pid1 != _slice_push_id(a, b, lsn, np.arange(1, 101))
+
     def test_schema_evolution_via_ddl_source(self, tmp_path):
         """DDL replays through the streaming path when ddl_source is
         given (same ST3 contract as the sort path)."""
