@@ -79,7 +79,12 @@ def _float_repr(v: float) -> str:
 
 
 def _timestamp_repr(v: dt.datetime) -> str:
-    base = v.strftime("%Y-%m-%dT%H:%M:%S")
+    # manual formatting: strftime's %Y does NOT zero-pad years < 1000 on
+    # glibc, producing invalid Ion like "2-01-01T..."
+    base = (
+        f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+        f"T{v.hour:02d}:{v.minute:02d}:{v.second:02d}"
+    )
     if v.microsecond:
         base += f".{v.microsecond:06d}".rstrip("0")
     if v.tzinfo is None:
@@ -121,7 +126,7 @@ def ion_dumps(value) -> str:
     if isinstance(value, dt.datetime):
         return _timestamp_repr(value)
     if isinstance(value, dt.date):
-        return value.strftime("%Y-%m-%d")
+        return f"{value.year:04d}-{value.month:02d}-{value.day:02d}"
     if isinstance(value, (bytes, bytearray, memoryview)):
         return "{{" + base64.b64encode(bytes(value)).decode() + "}}"
     if isinstance(value, dict):
@@ -138,3 +143,181 @@ def ion_lines(rows: list[dict]) -> str:
     """Rows → newline-delimited Ion text values (the FileSerde layout:
     one top-level value per record)."""
     return "".join(ion_dumps(r) + "\n" for r in rows)
+
+
+# ------------------------------------------------------------- reader
+#
+# Minimal Ion TEXT reader for the subset ion_dumps emits (one top-level
+# value per line).  Exists so the sink is testable as a round-trip, not
+# write-only; NOT a general Ion parser (no annotations, symbols, sexps,
+# long strings, or comments).
+
+
+class IonParseError(ValueError):
+    pass
+
+
+_TS_RE = None
+_NUM_RE = None
+
+
+def _lazy_res():
+    global _TS_RE, _NUM_RE
+    if _TS_RE is None:
+        import re
+
+        _TS_RE = re.compile(
+            r"\d{4}-\d{2}-\d{2}"
+            r"(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2}))?"
+        )
+        _NUM_RE = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[edED][+-]?\d+)?")
+    return _TS_RE, _NUM_RE
+
+
+class _Reader:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def _ws(self):
+        while self.i < len(self.s) and self.s[self.i] in " \t\n\r,":
+            self.i += 1
+
+    def _lit(self, tok: str) -> bool:
+        if self.s.startswith(tok, self.i):
+            self.i += len(tok)
+            return True
+        return False
+
+    def value(self):
+        import base64
+        import datetime as dt
+        from decimal import Decimal
+
+        self._ws()
+        ts_re, num_re = _lazy_res()
+        s, i = self.s, self.i
+        if i >= len(s):
+            raise IonParseError("unexpected end of input")
+        c = s[i]
+        if self._lit("null"):
+            return None
+        if self._lit("true"):
+            return True
+        if self._lit("false"):
+            return False
+        if self._lit("nan"):
+            return float("nan")
+        if self._lit("+inf"):
+            return float("inf")
+        if self._lit("-inf"):
+            return float("-inf")
+        if c == '"':
+            return self._string()
+        if c == "{":
+            if s.startswith("{{", i):
+                j = s.index("}}", i)
+                blob = s[i + 2 : j].strip()
+                self.i = j + 2
+                return base64.b64decode(blob)
+            return self._struct()
+        if c == "[":
+            return self._list()
+        m = ts_re.match(s, i)
+        if m and (len(m.group()) > 10 or "-" in m.group()[1:]):
+            # timestamps win over numbers when the date shape matches
+            self.i = m.end()
+            g = m.group()
+            if "T" not in g:
+                return dt.date.fromisoformat(g)
+            if g.endswith("Z"):
+                return dt.datetime.fromisoformat(g[:-1]).replace(
+                    tzinfo=dt.timezone.utc
+                )
+            if g.endswith("-00:00"):  # unknown offset → naive
+                return dt.datetime.fromisoformat(g[:-6])
+            return dt.datetime.fromisoformat(g)
+        m = num_re.match(s, i)
+        if m:
+            g = m.group()
+            self.i = m.end()
+            if "e" in g or "E" in g:
+                return float(g)
+            if "d" in g or "D" in g:
+                return Decimal(g.replace("d", "e").replace("D", "e"))
+            if "." in g:
+                return Decimal(g)
+            return int(g)
+        raise IonParseError(f"cannot parse value at {i}: {s[i:i+20]!r}")
+
+    def _string(self) -> str:
+        s = self.s
+        i = self.i + 1
+        out = []
+        while True:
+            c = s[i]
+            if c == '"':
+                self.i = i + 1
+                return "".join(out)
+            if c == "\\":
+                nxt = s[i + 1]
+                mapping = {"n": "\n", "r": "\r", "t": "\t", "0": "\0",
+                           "b": "\b", "f": "\f", "v": "\v", "a": "\x07",
+                           "\\": "\\", '"': '"'}
+                if nxt == "x":
+                    out.append(chr(int(s[i + 2 : i + 4], 16)))
+                    i += 4
+                    continue
+                out.append(mapping[nxt])
+                i += 2
+                continue
+            out.append(c)
+            i += 1
+
+    def _struct(self) -> dict:
+        self.i += 1  # {
+        out: dict = {}
+        while True:
+            self._ws()
+            if self.s[self.i] == "}":
+                self.i += 1
+                return out
+            if self.s[self.i] == '"':
+                name = self._string()
+            else:
+                j = self.i
+                while self.s[j] in _IDENT_OK:
+                    j += 1
+                name = self.s[self.i : j]
+                self.i = j
+            self._ws()
+            if self.s[self.i] != ":":
+                raise IonParseError(f"expected ':' at {self.i}")
+            self.i += 1
+            out[name] = self.value()
+
+    def _list(self) -> list:
+        self.i += 1  # [
+        out = []
+        while True:
+            self._ws()
+            if self.s[self.i] == "]":
+                self.i += 1
+                return out
+            out.append(self.value())
+
+
+def ion_loads(text: str):
+    """One Ion text value → Python (the inverse of ``ion_dumps`` on the
+    emitted subset; naive timestamps come back naive, blobs as bytes)."""
+    r = _Reader(text)
+    v = r.value()
+    r._ws()
+    if r.i != len(r.s):
+        raise IonParseError(f"trailing data at {r.i}")
+    return v
+
+
+def ion_loads_lines(text: str) -> list:
+    """Newline-delimited Ion values → list (reads back ``ion_lines``)."""
+    return [ion_loads(ln) for ln in text.splitlines() if ln.strip()]

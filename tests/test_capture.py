@@ -144,3 +144,77 @@ def test_ion_format_sink(tmp_path):
     ids = sorted(int(m) for m in re.findall(r"\bid:(\d+)", text))
     assert ids == [1, 2]
     assert "deleted:" in text
+
+
+def test_ion_round_trip_property():
+    """Property: ion_loads(ion_dumps(v)) == v over random nested values
+    (hypothesis; the reader exists precisely so the sink isn't
+    write-only-tested)."""
+    import datetime as dt
+    import math
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from plugin_debezium_ray.serde import ion_dumps, ion_loads
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False),  # NaN breaks == comparison, not parse
+        st.text(max_size=40),
+        st.binary(max_size=24),
+        st.decimals(allow_nan=False, allow_infinity=False, places=6),
+        st.datetimes(
+            min_value=dt.datetime(1, 1, 2),  # year-0 strftime quirk
+            timezones=st.just(dt.timezone.utc) | st.none(),
+        ),
+    )
+    values = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=4),
+            st.dictionaries(st.text(max_size=12), inner, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(values)
+    def check(v):
+        out = ion_loads(ion_dumps(v))
+        assert _eq(out, v), (v, ion_dumps(v), out)
+
+    def _eq(a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            return (a == b) or (math.isnan(a) and math.isnan(b))
+        if isinstance(a, Decimal) and isinstance(b, Decimal):
+            return a == b and a.as_tuple().exponent == b.as_tuple().exponent
+        if isinstance(a, list) and isinstance(b, (list, tuple)):
+            return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+        if isinstance(a, dict) and isinstance(b, dict):
+            return a.keys() == b.keys() and all(_eq(a[k], b[k]) for k in a)
+        return a == b and type(a) is type(b)
+
+    check()
+
+
+def test_ion_sink_round_trip(tmp_path):
+    """The .ion files written by the sink parse back to the same rows."""
+    import glob
+
+    from plugin_debezium_ray.serde import ion_loads_lines
+
+    out = capture_to_files(
+        _env_ds(),
+        CaptureConfig(key_cols=("id",)),
+        str(tmp_path),
+        file_format="ion",
+    )
+    rows = []
+    for f in glob.glob(str(tmp_path / "db1.a" / "*.ion")):
+        rows += ion_loads_lines(open(f).read())
+    assert out.counts["db1.a"] == len(rows)
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    assert all(isinstance(r["deleted"], bool) for r in rows)
