@@ -215,6 +215,30 @@ def q_cdc_lww_apply(sf_dir: str):
     return tab[["user_id", "lsn", "event_type", "value"]]
 
 
+def q_cdc_six_ops(sf_dir: str):
+    """ALL SIX envelope ops (c/u/d/r + t truncate + m message) through
+    the full streaming apply: truncate deletes its key
+    (`AbstractDebeziumTask.java:813-817`), keyless messages flow through
+    format but mutate no row (`ChangeConsumer.java:196-213`).  The WAL
+    is the deterministic generator (no SQL view exists for it), so the
+    driver check is rows-only; exact values are pinned by
+    ``tests/golden/cdc_six_ops.json``."""
+    from plugin_debezium_ray.sources.binlog import binlog, snapshot_envelopes
+
+    with tempfile.TemporaryDirectory(prefix="sixops_", dir="/tmp") as d:
+        job = ReplayJob(CaptureConfig(num_buckets=8), os.path.join(d, "lake"))
+        job.run_streaming(
+            binlog(2000, 150, seed=13, p_truncate=0.05, p_message=0.05),
+            snapshot=snapshot_envelopes(150, seed=13),
+        )
+        tab = job.read_table().to_pandas()
+    return (
+        tab[["repo", "path", "commit", "lang"]]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     from plugin_debezium_ray.functions.dedup import exact_dedup
 
@@ -580,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_stream_counts": q_cdc_stream_counts,
         "cdc_bounded_replay": q_cdc_bounded_replay,
         "cdc_lww_apply": q_cdc_lww_apply,
+        "cdc_six_ops": q_cdc_six_ops,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "dedup_minhash": q_dedup_minhash,

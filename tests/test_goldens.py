@@ -52,6 +52,15 @@ def test_simhash_pairs_golden():
     assert got == want
 
 
+def test_cdc_six_ops_golden():
+    """Final lake state of the all-six-ops WAL (c/u/d/r/t/m), pinned:
+    truncate deletes, messages mutate nothing — any drift in the op
+    semantics through the FULL streaming apply shows here."""
+    want = [list(r) for r in _golden("cdc_six_ops")]
+    out = _queries()["cdc_six_ops"](SF_DIR)
+    assert [list(r) for r in out.itertuples(index=False)] == want
+
+
 def test_embedding_pairs_golden():
     want = [list(map(int, p)) for p in _golden("dedup_embedding")]
     out = _queries()["dedup_embedding"](SF_DIR)

@@ -52,6 +52,10 @@ def main() -> None:
         "dedup_embedding": sorted(
             map(list, qs["dedup_embedding"](SF_DIR).itertuples(index=False))
         ),
+        "cdc_six_ops": [
+            list(r) for r in
+            qs["cdc_six_ops"](SF_DIR).itertuples(index=False)
+        ],
     }
     for name, data in goldens.items():
         path = os.path.join(OUT, f"{name}.json")
