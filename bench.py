@@ -349,6 +349,7 @@ def run_scaling() -> dict:
         if hi is None or r32["sec"] < hi["sec"]:
             hi = r32
     eff = (lo["sec"] / hi["sec"]) / (32 / 8)
+    ceiling = _host_ceiling_eff()
     return {
         "metric": "replay scaling efficiency (num_cpus 8 vs 32, N→4N stand-in)",
         "sec_8": round(lo["sec"], 3),
@@ -357,8 +358,52 @@ def run_scaling() -> dict:
         "eps_32": round(hi["eps"], 1),
         "replay_events": lo["events"],
         "scaling_efficiency": round(eff, 3),
+        # same-window pure-multiprocessing 8→32 ceiling of THIS shared
+        # host (co-tenant CPU steal): the attainable maximum for ANY
+        # workload in this measurement window — contextualizes runs taken
+        # in a degraded phase (observed ceiling range 0.73–0.92 same-day)
+        "host_ceiling_eff": ceiling,
+        "efficiency_vs_ceiling": (
+            round(eff / ceiling, 3) if ceiling else None
+        ),
         "sf": SF_DIR,
     }
+
+
+def _host_ceiling_eff() -> float | None:
+    """Measured 8→32-process CPU-burn speedup / 4 in the CURRENT window
+    (pure multiprocessing, no Ray) — the host's attainable parallel
+    efficiency under whatever co-tenant steal exists right now."""
+    import multiprocessing as mp
+
+    def burn(q, dur):
+        t0 = time.monotonic()
+        n = 0
+        x = 1.0
+        while time.monotonic() - t0 < dur:
+            for _ in range(10000):
+                x = x * 1.0000001 + 0.5
+            n += 10000
+        q.put(n)
+
+    def level(nproc, dur=5.0):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q, dur)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return total / dur
+
+    try:
+        best8 = best32 = 0.0
+        for _ in range(2):  # interleaved best-of-2 (adds ~20 s)
+            best8 = max(best8, level(8))
+            best32 = max(best32, level(32))
+        return round(best32 / best8 / 4.0, 3)
+    except Exception:
+        return None
 
 
 def run_replay_only(events_per_row: int | None = None) -> dict:
