@@ -277,6 +277,7 @@ class ReplayJob:
             prior_fingerprints=self.ckpt.bucket_fingerprints() if parent else {},
             ledger=ledger,
             fingerprint_col=self.fingerprint_col,
+            renames=reg.rename_map(),
         )
         def merge_bucket(group: pa.Table) -> pa.Table:
             return merge(group)

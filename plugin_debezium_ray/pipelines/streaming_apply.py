@@ -241,6 +241,7 @@ class MergeShard:
         prior_fingerprints: dict[int, str],
         ledger: dict[int, tuple[int, int]],
         fingerprint_col: str | None,
+        renames: dict[str, str] | None = None,
     ) -> list[dict]:
         """Merge each owned bucket with prior state, write bucket files,
         return the stats rows (same schema as the sort path)."""
@@ -263,6 +264,7 @@ class MergeShard:
             prior_fingerprints=prior_fingerprints,
             ledger=ledger,
             fingerprint_col=fingerprint_col,
+            renames=renames,
         )
         buckets = merged[BUCKET_COL].to_numpy()
         stats_rows: list[dict] = []
@@ -486,6 +488,7 @@ def _stream_one_commit(
             prior_fingerprints=prior_fps,
             ledger=ledger,
             fingerprint_col=job.fingerprint_col,
+            renames=reg.rename_map(),
         )
         for s in shards
     ]
@@ -528,12 +531,19 @@ def run_streaming_segments(
     num_shards: int | None = None,
     decode_concurrency: int | None = None,
     compact_rows: int = 400_000,
+    ddl_source: "bool | None" = False,
 ) -> "list":
     """ON_EACH_BATCH commit cadence on the streaming engine: N WAL
     segments flow through ONE long-lived shard pool with an atomic
     manifest commit after each segment (the reference's per-batch offset
     commit, `AbstractDebeziumTask.java:640-693`, on the actor-pool path —
     the sort/pipelined paths already had it via ``run_segments``).
+
+    ``ddl_source``: ``False`` (default) carries each commit's schema
+    registry forward from the prior snapshot (DDL-free sources skip the
+    scan); ``None`` replays DDL found in EACH segment into the registry
+    before that segment applies — mid-session schema evolution, same ST3
+    contract as ``run_segments`` on the sort path.
 
     The pool survives across commits, so this is also the multi-commit
     soak surface: ``seen_pushes``/``events_seen`` reset at each commit
@@ -546,7 +556,10 @@ def run_streaming_segments(
     Per-commit work is the SAME engine as ``run_streaming``
     (``_stream_one_commit``) — only the pool lifecycle and the
     per-segment checkpoint restore differ here."""
-    from plugin_debezium_ray.state.schema_registry import SchemaRegistry
+    from plugin_debezium_ray.state.schema_registry import (
+        SchemaRegistry,
+        registry_from_envelopes,
+    )
     from plugin_debezium_ray.envelope import payload_fields_of
 
     cfg: CaptureConfig = job.cfg
@@ -568,11 +581,21 @@ def run_streaming_segments(
             base_fields = [
                 (f.name, str(f.type)) for f in payload_fields_of(fields)
             ]
-            reg = (
-                SchemaRegistry.from_snapshot(parent["schema"])
-                if (parent or {}).get("schema")
-                else SchemaRegistry(base_fields)
-            )
+            if ddl_source is False:
+                reg = (
+                    SchemaRegistry.from_snapshot(parent["schema"])
+                    if (parent or {}).get("schema")
+                    else SchemaRegistry(base_fields)
+                )
+            else:
+                # replay this segment's DDL sub-stream into the registry
+                # BEFORE its data applies (per-segment schema evolution)
+                reg = registry_from_envelopes(
+                    seg,
+                    base_fields,
+                    prior_snapshot=(parent or {}).get("schema"),
+                    max_lsn=cfg.max_lsn,
+                )
             results.append(
                 _stream_one_commit(
                     job, shards, shard_of, seg, reg,

@@ -270,6 +270,7 @@ class BucketMerge:
         prior_fingerprints: dict[int, str] | None = None,
         ledger: dict[int, tuple[int, int]] | None = None,
         fingerprint_col: str | None = "content",
+        renames: dict[str, str] | None = None,
     ):
         self.key_cols = key_cols
         self.out_dir = out_dir
@@ -278,6 +279,12 @@ class BucketMerge:
         self.prior_fingerprints = prior_fingerprints or {}
         self.ledger = ledger or {}
         self.fingerprint_col = fingerprint_col
+        # schema-registry rename map (old→new): prior bucket files
+        # written under a pre-rename epoch read back under the CURRENT
+        # column names, so a concat with renamed new rows doesn't fork
+        # the column into two (ST3 cross-commit evolution).  Key-column
+        # renames are out of scope (they'd change the bucket hash).
+        self.renames = renames or {}
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
@@ -331,6 +338,10 @@ class BucketMerge:
         fp: str | None = None
         if prior_path is not None and os.path.exists(prior_path):
             prior = pq.read_table(prior_path)
+            if self.renames:
+                new_names = [self.renames.get(c, c) for c in prior.column_names]
+                if new_names != prior.column_names:
+                    prior = prior.rename_columns(new_names)
             prior_key = _composite_key(prior, self.key_cols)
             dead = pd.Index(prior_key).isin(key)  # replaced or deleted keys
             # promote unifies schemas across evolution epochs: columns

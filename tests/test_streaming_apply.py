@@ -269,6 +269,34 @@ class TestStreamingSoak:
         assert [r.events_seen for r in rerun] == [0, 0, 0]
         assert _state(job) == _state(ref)
 
+    def test_mid_session_ddl_evolves_schema(self, tmp_path):
+        """ddl_source=None replays each segment's DDL before that
+        segment applies — schema evolution ACROSS commits of one
+        streaming session (ST3 parity with run_segments)."""
+        from plugin_debezium_ray.sources.binlog import ddl_events_table
+
+        ddl = ray.data.from_arrow(
+            ddl_events_table(
+                [
+                    (10_001, {"action": "add_column", "name": "license",
+                              "type": "string", "default": "unknown"}),
+                    (10_001, {"action": "rename_column", "from": "lang",
+                              "to": "language"}),
+                ]
+            )
+        )
+        segs = [
+            binlog(1200, 150, seed=SEED),
+            binlog(1200, 150, seed=SEED, base_lsn=10_001).union(ddl),
+        ]
+        job = ReplayJob(CaptureConfig(num_buckets=8), str(tmp_path))
+        results = job.run_streaming_segments(segs, ddl_source=None)
+        assert [r.version for r in results] == [1, 2]
+        tab = job.read_table().to_pandas()
+        assert "language" in tab.columns and "lang" not in tab.columns
+        assert set(tab["license"]) == {"unknown"}
+        assert tab["language"].notna().all()  # old rows read renamed
+
     def test_session_state_matches_separate_runs(self, tmp_path):
         """State after N commits through one pool == N separate
         run_streaming calls (byte-identical bucket files)."""
