@@ -383,6 +383,15 @@ def q_dedup_minhash(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def q_dedup_ngram_jaccard(sf_dir: str):
+    from plugin_debezium_ray.functions.dedup import ngram_jaccard_pairs_exact
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ngram_jaccard_pairs_exact(ds, k=3, threshold=0.8)
+
+
 def q_dedup_simhash(sf_dir: str):
     import pandas as pd
 
@@ -608,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "text_token_count": q_text_token_count,
@@ -673,6 +683,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_normalized": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ), eligible AS (
+              SELECT doc_id, w FROM toks WHERE len(w) >= 3
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM eligible, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM grams a JOIN grams b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                         JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
         """,
         "text_token_count": """
             SELECT doc_id,

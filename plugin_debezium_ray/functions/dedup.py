@@ -883,6 +883,156 @@ def ngram_jaccard_dedup(
     )
 
 
+_GRAM_HASH_KEY = "ngramjaccardlane"  # 16 bytes — second independent lane
+
+
+def ngram_jaccard_pairs_exact(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = 32,
+    max_docs_per_shingle: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT word-``k``-gram Jaccard similarity self-join: every document
+    pair whose k-shingle Jaccard is ≥ ``threshold``, with the exact score
+    — no LSH, no sampling, no approximation (the SQL-checkable
+    counterpart of ``minhash_dedup``'s candidates+verify).
+
+    Inverted-index formulation (any pair with J > 0 shares ≥ 1 shingle,
+    so the shingle index has perfect recall):
+
+      map_batches: per doc, the DISTINCT gram set → explode to
+          (gram-hash₀, gram-hash₁, doc, n_grams) rows — the per-doc set
+          size rides along so NO size join is needed later
+        → ONE groupby on a coarse partition of the gram-hash space
+        → vectorized in-partition pairing (self-merge per gram) with a
+          PARTIAL (a, b) count pre-reduce before the second shuffle
+        → ONE coarse groupby on the pair space: sum the intersection
+          counts, J = c / (n_a + n_b − c), filter ≥ threshold.
+
+    Two independent 64-bit gram-hash lanes make a cross-doc collision
+    (which would inflate an intersection count) a 2⁻¹²⁸ event at any
+    corpus size — same birthday-safety argument as ``exact_dedup``.
+
+    Documents with fewer than ``k`` words have no full k-gram and are
+    excluded (mirrors the oracle's ``len(w) >= k`` gate).
+
+    Scale note: exact similarity join is inherently quadratic in a hot
+    shingle's posting list (the SQL oracle pays the same self-join).
+    ``max_docs_per_shingle`` caps a posting list by keeping the lowest
+    doc ids (deterministic, documented recall loss on stop-word-like
+    shingles); leave ``None`` for exact parity.  For 100-TB corpora use
+    ``minhash_dedup`` — this op is the exact verifier / ground truth.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        grams: list[str] = []
+        offsets = [0]
+        keep_rows: list[int] = []
+        for i, tx in enumerate(texts):
+            toks = _WORD_RE.findall((tx or "").lower())
+            if len(toks) < k:
+                continue
+            gs = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+            grams.extend(gs)
+            offsets.append(len(grams))
+            keep_rows.append(i)
+        if not keep_rows:
+            return pa.table(
+                {"doc": pa.array([], t[id_col].type),
+                 "n": pa.array([], pa.int64()),
+                 "h0": pa.array([], pa.uint64()),
+                 "h1": pa.array([], pa.uint64()),
+                 "part": pa.array([], pa.int32())}
+            )
+        obj = np.array(grams, dtype=object)
+        h0 = pd.util.hash_array(obj)
+        # hash_key only keys OBJECT arrays (numeric inputs silently
+        # ignore it — see MinHasher's splitmix lanes); grams are str
+        # objects, so this is a genuinely independent second lane
+        h1 = pd.util.hash_array(obj, hash_key=_GRAM_HASH_KEY)
+        off = np.asarray(offsets, dtype=np.int64)
+        n_per_doc = np.diff(off)
+        return pa.table(
+            {
+                "doc": pa.array(np.repeat(ids[keep_rows], n_per_doc)),
+                "n": pa.array(np.repeat(n_per_doc, n_per_doc)),
+                "h0": pa.array(h0),
+                "h1": pa.array(h1),
+                "part": pa.array(
+                    (h0 % np.uint64(num_partitions)).astype(np.int32)
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=g["doc"].dtype),
+             "b": pd.Series([], dtype=g["doc"].dtype),
+             "na": pd.Series([], dtype="int64"),
+             "nb": pd.Series([], dtype="int64"),
+             "c": pd.Series([], dtype="int64")}
+        )
+        sizes = g.groupby(["h0", "h1"])["doc"].transform("size")
+        g2 = g[sizes > 1]
+        if g2.empty:
+            return empty
+        if max_docs_per_shingle is not None:
+            g2 = g2.sort_values("doc", kind="stable")
+            g2 = g2.groupby(["h0", "h1"]).head(max_docs_per_shingle)
+        m = g2.merge(g2, on=["h0", "h1"])
+        m = m[m["doc_x"] < m["doc_y"]]
+        if m.empty:
+            return empty
+        out = (
+            m.groupby(["doc_x", "doc_y"], sort=False)
+            .agg(na=("n_x", "first"), nb=("n_y", "first"),
+                 c=("h0", "size"))
+            .reset_index()
+            .rename(columns={"doc_x": "a", "doc_y": "b"})
+        )
+        return out[["a", "b", "na", "nb", "c"]]
+
+    partial = exploded.groupby("part").map_groups(
+        partition_pairs, batch_format="pandas"
+    )
+
+    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["a", "b"]], index=False)
+        df = df.copy()
+        df["_part"] = (h % np.uint64(num_partitions)).astype(np.int32)
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["a", "b"], sort=False)
+            .agg(na=("na", "first"), nb=("nb", "first"), c=("c", "sum"))
+            .reset_index()
+        )
+        j = agg["c"].to_numpy(dtype=np.float64) / (
+            agg["na"].to_numpy() + agg["nb"].to_numpy() - agg["c"].to_numpy()
+        )
+        keep = j >= threshold
+        return pd.DataFrame(
+            {"doc_a": agg["a"].to_numpy()[keep],
+             "doc_b": agg["b"].to_numpy()[keep],
+             "jaccard": j[keep]}
+        )
+
+    return (
+        partial.map_batches(add_pair_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 # ------------------------------------------- embedding cosine near-dup
 
 

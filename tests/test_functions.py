@@ -141,6 +141,49 @@ class TestDedup:
         kept = dedup.ngram_jaccard_dedup(docs_ds(), threshold=0.9).to_pandas()
         assert 1 not in set(kept["doc_id"])  # exact dup always folds at 0.9
 
+    def test_ngram_jaccard_pairs_exact_matches_brute_force(self):
+        # brute-force reference: all O(n²) pairs through the exact
+        # single-pair jaccard(); the pipeline must reproduce both the
+        # pair set and the scores bit-for-bit
+        threshold = 0.5
+        expected = {}
+        for i, (da, ta) in enumerate(DOCS):
+            for db, tb in DOCS[i + 1 :]:
+                j = dedup.jaccard(ta, tb, k=3)
+                if j >= threshold:
+                    expected[(da, db)] = j
+        got = dedup.ngram_jaccard_pairs_exact(
+            docs_ds(), threshold=threshold
+        ).to_pandas()
+        got_pairs = {
+            (int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+            for r in got.itertuples()
+        }
+        assert set(got_pairs) == set(expected)
+        for p, j in expected.items():
+            assert got_pairs[p] == j
+
+    def test_ngram_jaccard_exact_skips_short_docs(self):
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3],
+             "text": ["two words", "two words", "", "   "]}
+        ))
+        out = dedup.ngram_jaccard_pairs_exact(ds, k=3, threshold=0.0)
+        assert len(out.to_pandas()) == 0  # no doc can form a 3-gram
+
+    def test_ngram_jaccard_posting_cap_keeps_low_ids(self):
+        # a hot shingle shared by every doc: the cap bounds the
+        # posting list deterministically (lowest doc ids survive)
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": list(range(6)),
+             "text": ["alpha beta gamma"] * 6}
+        ))
+        capped = dedup.ngram_jaccard_pairs_exact(
+            ds, k=3, threshold=0.8, max_docs_per_shingle=3
+        ).to_pandas()
+        got = {(int(r.doc_a), int(r.doc_b)) for r in capped.itertuples()}
+        assert got == {(0, 1), (0, 2), (1, 2)}
+
     def test_embedding_dedup_pairs(self):
         rng = np.random.default_rng(0)
         base = rng.standard_normal(16).astype(np.float32)
