@@ -59,7 +59,19 @@ PIPELINE_GROUPS = int(os.environ.get("GRAFT_PIPELINE_GROUPS", "8"))
 # read parallelism per segment group (a group is only ~8 files — without
 # the override the whole prepare phase runs ≤8 tasks wide)
 GROUP_READ_BLOCKS = int(os.environ.get("GRAFT_GROUP_READ_BLOCKS", "64"))
-WAL_READ_BLOCKS = int(os.environ.get("GRAFT_WAL_READ_BLOCKS", "256"))
+_WAL_READ_BLOCKS_ENV = os.environ.get("GRAFT_WAL_READ_BLOCKS")
+
+
+def wal_read_blocks(n_events: int) -> int:
+    """Read parallelism for the streaming replay, scaled to WAL size:
+    ~16k events per block, clamped to [32, 256].  At the 2.1M-event
+    sf0.1 WAL the old flat 256 meant 8k-row blocks whose per-task
+    overhead dominated (measured 5.0→3.6 s at 128 blocks); the 50.4M
+    scaling WAL still lands on 256 (≈200k rows/block), so the published
+    scaling-protocol shape is unchanged."""
+    if _WAL_READ_BLOCKS_ENV is not None:
+        return int(_WAL_READ_BLOCKS_ENV)
+    return max(32, min(256, n_events // 16_000))
 
 
 def _events_rows(sf_dir: str) -> int:
@@ -130,7 +142,7 @@ def bench_cdc_replay(
     if APPLY_MODE == "streaming":
         res = job.run_streaming(
             ray.data.read_parquet(
-                wal_dir, override_num_blocks=WAL_READ_BLOCKS
+                wal_dir, override_num_blocks=wal_read_blocks(n_events)
             ),
             snapshot=ray.data.read_parquet(snap_dir),
         )
@@ -166,9 +178,15 @@ def bench_cdc_decode(sf_dir: str) -> dict:
     from plugin_debezium_ray.stages.decode import EnvelopeDecoder
 
     wal_dir, n_events, _ = ensure_wal(sf_dir)
+    # one task wave: blocks ≈ cpus (65k rows/task at sf0.1) — the
+    # unmanaged read produced hundreds of 4k-row blocks whose task
+    # overhead dominated the 100 ms of decode compute (2.7 → 0.7 s)
+    cpus = int(ray.cluster_resources().get("CPU", NUM_CPUS))
     t0 = time.monotonic()
     n = (
-        ray.data.read_parquet(wal_dir)
+        ray.data.read_parquet(
+            wal_dir, override_num_blocks=max(cpus, n_events // 65_536)
+        )
         .map_batches(EnvelopeDecoder(CaptureConfig()), batch_format="pyarrow")
         .count()
     )
