@@ -64,14 +64,16 @@ _WAL_READ_BLOCKS_ENV = os.environ.get("GRAFT_WAL_READ_BLOCKS")
 
 def wal_read_blocks(n_events: int) -> int:
     """Read parallelism for the streaming replay, scaled to WAL size:
-    ~16k events per block, clamped to [32, 256].  At the 2.1M-event
-    sf0.1 WAL the old flat 256 meant 8k-row blocks whose per-task
-    overhead dominated (measured 5.0→3.6 s at 128 blocks); the 50.4M
-    scaling WAL still lands on 256 (≈200k rows/block), so the published
-    scaling-protocol shape is unchanged."""
+    ~65k events per block, clamped to [32, 256].  The read itself has a
+    measured cliff on this 480-file WAL: ≤64 blocks ≈ 0.9 s, ≥80 ≈
+    1.7 s for a count-only scan, and the full sf0.1 replay measured
+    3.14 / 3.53 / 4.26 s best-of-3 interleaved at 32 / 64 / 128 blocks
+    (the old flat 256 meant 8k-row blocks, pure task overhead).  The
+    50.4M scaling WAL still lands on 256 (≈200k rows/block), so the
+    published scaling-protocol shape is unchanged."""
     if _WAL_READ_BLOCKS_ENV is not None:
         return int(_WAL_READ_BLOCKS_ENV)
-    return max(32, min(256, n_events // 16_000))
+    return max(32, min(256, n_events // 65_536))
 
 
 def _events_rows(sf_dir: str) -> int:

@@ -473,13 +473,16 @@ def _stream_one_commit(
     map_kw = {}
     if decode_concurrency is not None:
         map_kw["concurrency"] = decode_concurrency
+    t_decode = time.monotonic()
     seg.map_batches(
         decode_and_push, batch_format="pyarrow", batch_size=cfg.batch_size,
         **map_kw,
     ).sum("n")  # drives the stream; returns one scalar
+    decode_seconds = time.monotonic() - t_decode
 
     data_dir = os.path.join(job.table_dir, "data")
     commit_id = f"v{version:06d}"
+    t_final = time.monotonic()
     stats_refs = [
         s.finalize.remote(
             data_dir,
@@ -493,6 +496,7 @@ def _stream_one_commit(
         for s in shards
     ]
     stats_rows = [r for rows in ray.get(stats_refs) for r in rows]
+    finalize_seconds = time.monotonic() - t_final
     # placement lineage: distinct Ray nodes hosting the shard pool (the
     # SPREAD strategy's multi-node evidence, recorded per commit)
     shard_nodes = len(set(ray.get([s.node_id.remote() for s in shards])))
@@ -505,6 +509,11 @@ def _stream_one_commit(
         schema_snapshot=reg.snapshot(),
         extra_metrics={
             "wall_seconds": time.monotonic() - t0,
+            # phase latencies (per-commit lineage): stream-drive vs
+            # shard finalize — small jobs are finalize/startup-bound,
+            # large jobs decode-bound
+            "decode_seconds": round(decode_seconds, 4),
+            "finalize_seconds": round(finalize_seconds, 4),
             "streaming_apply": True,
             "num_shards": len(shards),
             "shard_nodes": shard_nodes,
