@@ -142,11 +142,17 @@ def bench_cdc_replay(
         lake,
     )
     if APPLY_MODE == "streaming":
+        from plugin_debezium_ray.stages.apply import APPLY_COLUMNS
+
         res = job.run_streaming(
             ray.data.read_parquet(
-                wal_dir, override_num_blocks=wal_read_blocks(n_events)
+                wal_dir,
+                columns=list(APPLY_COLUMNS),
+                override_num_blocks=wal_read_blocks(n_events),
             ),
-            snapshot=ray.data.read_parquet(snap_dir),
+            snapshot=ray.data.read_parquet(
+                snap_dir, columns=list(APPLY_COLUMNS)
+            ),
         )
         seen = res.events_seen
     elif PIPELINE_GROUPS > 1:

@@ -346,12 +346,18 @@ class ReplayJob:
             if override_num_blocks
             else {}
         )
-        env = ray.data.read_parquet(wal_paths, **read_kw)
+        from plugin_debezium_ray.stages.apply import APPLY_COLUMNS
+
+        # apply reads only APPLY_COLUMNS — prune at the read so
+        # before-images / source structs never leave the file footers
+        env = ray.data.read_parquet(
+            wal_paths, columns=list(APPLY_COLUMNS), **read_kw
+        )
         ddl = ray.data.read_parquet(
             wal_paths, columns=["lsn", "seq", "op", "ddl"]
         )
         snap = (
-            ray.data.read_parquet(snapshot_paths)
+            ray.data.read_parquet(snapshot_paths, columns=list(APPLY_COLUMNS))
             if snapshot_paths is not None
             else None
         )
