@@ -184,6 +184,37 @@ class TestDedup:
         got = {(int(r.doc_a), int(r.doc_b)) for r in capped.itertuples()}
         assert got == {(0, 1), (0, 2), (1, 2)}
 
+    def test_ngram_jaccard_exact_property(self):
+        # randomized corpora vs the O(n²) brute-force reference —
+        # hypothesis-style coverage without per-example Ray pipelines
+        # (one pipeline over a batch of deterministic random corpora)
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = []
+        for d in range(40):
+            n = int(rng.integers(0, 12))
+            docs.append((d, " ".join(rng.choice(vocab, size=n))))
+        threshold = 0.4
+        expected = {}
+        for i, (da, ta) in enumerate(docs):
+            for db, tb in docs[i + 1 :]:
+                if len(ta.split()) < 3 or len(tb.split()) < 3:
+                    continue  # pipeline's len(w) >= k gate
+                j = dedup.jaccard(ta, tb, k=3)
+                if j >= threshold:
+                    expected[(da, db)] = j
+        ds = ray.data.from_pandas(
+            pd.DataFrame(docs, columns=["doc_id", "text"])
+        )
+        got = dedup.ngram_jaccard_pairs_exact(
+            ds, k=3, threshold=threshold
+        ).to_pandas()
+        got_pairs = {
+            (int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+            for r in got.itertuples()
+        }
+        assert got_pairs == expected
+
     def test_embedding_dedup_pairs(self):
         rng = np.random.default_rng(0)
         base = rng.standard_normal(16).astype(np.float32)
