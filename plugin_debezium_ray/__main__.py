@@ -1,0 +1,157 @@
+"""``ray job submit`` entrypoint: ``python -m plugin_debezium_ray <cmd>``.
+
+The north-star run mode is a fixed-size multi-node Ray cluster driven by
+``ray job submit -- python -m plugin_debezium_ray replay --wal ... --lake
+...``.  The CLI owns the Ray session (``ray.init()`` with no address
+picks up ``RAY_ADDRESS`` — the job-server-injected cluster address —
+falling back to a local session for dev runs); the library itself never
+calls ``ray.init``.
+
+Each command prints ONE JSON line with its result metrics so job logs
+are machine-parseable (mirrors ``bench.py``'s contract).
+
+Commands:
+  replay   WAL parquet segments → lake upsert (sort or streaming path)
+  capture  WAL parquet segments → per-stream files (parquet/jsonl/ion)
+  lineage  committed per-bucket lineage of a lake table
+  vacuum   GC old commit versions / unreferenced data files
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, ignore_reinit_error=True)
+
+
+def _config_from_args(args) -> "object":
+    from plugin_debezium_ray.config import CaptureConfig
+
+    kw = {}
+    if args.key_cols:
+        kw["key_cols"] = tuple(args.key_cols.split(","))
+    if args.num_buckets:
+        kw["num_buckets"] = args.num_buckets
+    if getattr(args, "max_records", None):
+        kw["max_records"] = args.max_records
+    if getattr(args, "max_lsn", None):
+        kw["max_lsn"] = args.max_lsn
+    return CaptureConfig(**kw)
+
+
+def cmd_replay(args) -> dict:
+    from plugin_debezium_ray.pipelines.replay import ReplayJob
+
+    _init_ray()
+    job = ReplayJob(_config_from_args(args), args.lake)
+    res = job.run_from_paths(
+        args.wal,
+        snapshot_paths=args.snapshot,
+        streaming=not args.sort_path,
+    )
+    return {
+        "command": "replay",
+        "version": res.version,
+        "events_seen": res.events_seen,
+        "events_applied": res.events_applied,
+        "buckets_touched": res.buckets_touched,
+        "wall_seconds": round(res.elapsed_seconds, 3),
+        "lake": args.lake,
+        "stopped_reason": res.stopped_reason,
+    }
+
+
+def cmd_capture(args) -> dict:
+    import ray.data
+
+    from plugin_debezium_ray.pipelines.capture import capture_to_files
+
+    _init_ray()
+    env = ray.data.read_parquet(args.wal)
+    out = capture_to_files(
+        env, _config_from_args(args), args.out, file_format=args.format
+    )
+    return {
+        "command": "capture",
+        "size": out.size,
+        "streams": {k: v for k, v in sorted(out.counts.items())},
+        "out": args.out,
+    }
+
+
+def cmd_lineage(args) -> dict:
+    from plugin_debezium_ray.pipelines.replay import ReplayJob
+    from plugin_debezium_ray.config import CaptureConfig
+
+    # manifest read only — no Ray session needed
+    job = ReplayJob(CaptureConfig(), args.lake)
+    df = job.lineage()
+    return {
+        "command": "lineage",
+        "version": df.attrs.get("version"),
+        "metrics": df.attrs.get("metrics", {}),
+        "buckets": df.to_dict(orient="records"),
+    }
+
+
+def cmd_vacuum(args) -> dict:
+    from plugin_debezium_ray.state.vacuum import vacuum
+
+    out = vacuum(args.lake, keep_manifests=args.keep, dry_run=args.dry_run)
+    return {"command": "vacuum", **out}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m plugin_debezium_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("replay", help="WAL segments -> lake upsert")
+    rp.add_argument("--wal", required=True, help="WAL parquet dir/file(s)")
+    rp.add_argument("--lake", required=True, help="lake table dir")
+    rp.add_argument("--snapshot", default=None, help="snapshot parquet dir")
+    rp.add_argument("--key-cols", default=None, help="comma-separated PK")
+    rp.add_argument("--num-buckets", type=int, default=None)
+    rp.add_argument("--max-records", type=int, default=None)
+    rp.add_argument("--max-lsn", type=int, default=None)
+    rp.add_argument(
+        "--sort-path", action="store_true",
+        help="force the sort-shuffle apply (default: streaming actor pool)",
+    )
+    rp.set_defaults(fn=cmd_replay)
+
+    cp = sub.add_parser("capture", help="WAL segments -> per-stream files")
+    cp.add_argument("--wal", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "ion"])
+    cp.add_argument("--key-cols", default=None)
+    cp.add_argument("--num-buckets", type=int, default=None)
+    cp.add_argument("--max-records", type=int, default=None)
+    cp.add_argument("--max-lsn", type=int, default=None)
+    cp.set_defaults(fn=cmd_capture)
+
+    lp = sub.add_parser("lineage", help="per-bucket lineage of a lake")
+    lp.add_argument("--lake", required=True)
+    lp.set_defaults(fn=cmd_lineage)
+
+    vp = sub.add_parser("vacuum", help="GC old commits of a lake")
+    vp.add_argument("--lake", required=True)
+    vp.add_argument("--keep", type=int, default=1)
+    vp.add_argument("--dry-run", action="store_true")
+    vp.set_defaults(fn=cmd_vacuum)
+
+    args = p.parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

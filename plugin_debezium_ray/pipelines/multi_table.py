@@ -33,6 +33,7 @@ import pandas as pd
 from plugin_debezium_ray.config import CaptureConfig
 from plugin_debezium_ray.pipelines.replay import ReplayJob, ReplayResult
 from plugin_debezium_ray.stages.apply import (
+    APPLY_COLUMNS,
     BUCKET_COL,
     _one_chunk,
     WEIGHT_COL,
@@ -43,6 +44,13 @@ from plugin_debezium_ray.stages.apply import (
 from plugin_debezium_ray.state.checkpoint import CheckpointManager, build_manifest
 
 STREAM_COL = "_stream"
+
+# the envelope columns the multi-table apply touches: the keyed apply's
+# APPLY_COLUMNS plus the source struct (db/table stream routing) and ddl
+# (per-stream schema registries).  Pass
+# ``read_parquet(wal, columns=list(MULTI_TABLE_COLUMNS))`` when replaying
+# by path — before-images / transaction / ts_ms never leave the footers.
+MULTI_TABLE_COLUMNS = (*APPLY_COLUMNS, "source", "ddl")
 
 
 def discover_streams(

@@ -581,6 +581,44 @@ class ReplayJob:
             raise FileNotFoundError(f"no committed state under {self.table_dir}")
         return ray.data.read_parquet(paths)
 
+    def lineage(self) -> "pd.DataFrame":
+        """Per-partition lineage from the committed manifest: one row per
+        bucket with its source offset (``last_lsn``/``last_seq``, the
+        per-partition offset ledger), event counts, apply latency, row
+        count, content fingerprint and data file — the per-partition
+        metrics contract of the capture (the reference reports only
+        global ``size``; the bucketed lake makes per-partition lineage
+        first-class).  Counts/latency describe the LAST commit that
+        touched the bucket; offsets are high-water marks."""
+        import pandas as pd
+
+        manifest = self.ckpt.restore()
+        if manifest is None:
+            raise FileNotFoundError(f"no committed state under {self.table_dir}")
+        ledger = manifest.get("ledger", {})
+        rows = []
+        for b, info in sorted(
+            manifest.get("buckets", {}).items(), key=lambda kv: int(kv[0])
+        ):
+            off = ledger.get(b) or (None, None)
+            rows.append(
+                {
+                    "bucket": int(b),
+                    "last_lsn": off[0],
+                    "last_seq": off[1],
+                    "rows": info.get("rows"),
+                    "events_seen": info.get("events_seen"),
+                    "events_applied": info.get("events_applied"),
+                    "apply_seconds": info.get("apply_seconds"),
+                    "fingerprint": info.get("fingerprint"),
+                    "path": info.get("path"),
+                }
+            )
+        df = pd.DataFrame(rows)
+        df.attrs["version"] = manifest.get("version")
+        df.attrs["metrics"] = manifest.get("metrics", {})
+        return df
+
 
 def _idle_bounded(
     batch_iter,

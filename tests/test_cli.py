@@ -1,0 +1,95 @@
+"""The ``python -m plugin_debezium_ray`` job entrypoint and the
+per-partition lineage accessor (the north-star ``ray job submit`` run
+mode: each command prints one JSON line; lineage carries per-bucket
+offsets / counts / latency)."""
+
+import json
+
+import pytest
+
+import ray.data
+
+from plugin_debezium_ray.__main__ import main
+from plugin_debezium_ray.config import CaptureConfig
+from plugin_debezium_ray.pipelines.replay import ReplayJob
+from plugin_debezium_ray.sources.binlog import (
+    oracle_apply,
+    snapshot_envelopes,
+    write_binlog_segments,
+)
+
+
+@pytest.fixture(scope="module")
+def wal_and_snap(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    wal = str(base / "wal")
+    snap = str(base / "snap")
+    write_binlog_segments(wal, 3000, 300, seed=11, num_segments=3)
+    snapshot_envelopes(300, seed=11).write_parquet(snap)
+    return wal, snap
+
+
+def run_cli(capsys, *argv) -> dict:
+    assert main(list(argv)) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+class TestCli:
+    def test_replay_then_lineage_then_vacuum(self, capsys, tmp_path,
+                                             wal_and_snap):
+        wal, snap = wal_and_snap
+        lake = str(tmp_path / "lake")
+        res = run_cli(capsys, "replay", "--wal", wal, "--lake", lake,
+                      "--snapshot", snap, "--num-buckets", "16")
+        assert res["events_seen"] == 3300
+        assert res["version"] == 1
+
+        # final state parity vs the sequential oracle
+        job = ReplayJob(CaptureConfig(num_buckets=16), lake)
+        got = job.read_table().to_pandas()
+        exp = oracle_apply(3000, 300, seed=11)
+        assert len(got) == len(exp)
+
+        lin = run_cli(capsys, "lineage", "--lake", lake)
+        assert lin["version"] == 1
+        buckets = lin["buckets"]
+        assert sum(b["rows"] for b in buckets) == len(exp)
+        assert all(b["last_lsn"] is not None for b in buckets
+                   if b["events_seen"])
+        assert all(b["fingerprint"] for b in buckets)
+
+        vac = run_cli(capsys, "vacuum", "--lake", lake, "--dry-run")
+        assert vac["deleted_files"] == 0  # single commit: nothing to GC
+
+    def test_replay_idempotent_rerun(self, capsys, tmp_path, wal_and_snap):
+        wal, snap = wal_and_snap
+        lake = str(tmp_path / "lake2")
+        run_cli(capsys, "replay", "--wal", wal, "--lake", lake,
+                "--snapshot", snap)
+        res2 = run_cli(capsys, "replay", "--wal", wal, "--lake", lake,
+                       "--snapshot", snap)
+        assert res2["events_seen"] == 0
+
+    def test_capture_jsonl(self, capsys, tmp_path, wal_and_snap):
+        wal, _ = wal_and_snap
+        out_dir = str(tmp_path / "cap")
+        res = run_cli(capsys, "capture", "--wal", wal, "--out", out_dir,
+                      "--format", "jsonl")
+        assert res["size"] == 3000
+        assert sum(res["streams"].values()) == 3000
+
+    def test_lineage_accessor_dataframe(self, tmp_path, wal_and_snap):
+        wal, snap = wal_and_snap
+        lake = str(tmp_path / "lake3")
+        job = ReplayJob(CaptureConfig(num_buckets=8), lake)
+        job.run_from_paths(wal, snapshot_paths=snap)
+        df = job.lineage()
+        assert df.attrs["version"] == 1
+        assert set(df.columns) >= {
+            "bucket", "last_lsn", "last_seq", "rows", "events_seen",
+            "events_applied", "apply_seconds", "fingerprint", "path",
+        }
+        assert df["bucket"].is_monotonic_increasing
+        # offsets are high-water marks: max last_lsn == max WAL lsn seen
+        assert df["last_lsn"].max() >= 1
