@@ -307,3 +307,47 @@ class TestStreamingSoak:
             b.run_streaming(seg)
         assert _state(a) == _state(b)
         assert _bucket_hashes(a) == _bucket_hashes(b)
+
+
+class TestShardLoss:
+    def test_dead_shard_fails_run_without_partial_commit(
+        self, tmp_path, monkeypatch
+    ):
+        """Chaos: a shard actor dies mid-stream.  The contract is
+        fail-fast + clean resume — pushes to the dead actor error the
+        run, NO manifest is committed (the atomic-commit guarantee), and
+        a fresh run over the same WAL reaches oracle parity.  (Shard
+        state is deliberately not replicated: recovery is replay-from-
+        checkpoint, same as the reference's restart-from-offsets model.)
+        """
+        from plugin_debezium_ray.pipelines import streaming_apply as sa
+
+        lake = str(tmp_path / "lake")
+        job = ReplayJob(CaptureConfig(num_buckets=8), lake)
+
+        real_make = sa._make_shard_pool
+
+        def sabotaged(cfg, num_shards, compact_rows, stream_col=None):
+            shards, shard_of = real_make(
+                cfg, num_shards, compact_rows, stream_col
+            )
+            ray.kill(shards[0])  # one shard dies before the stream starts
+            return shards, shard_of
+
+        monkeypatch.setattr(sa, "_make_shard_pool", sabotaged)
+        with pytest.raises(Exception):
+            job.run_streaming(
+                binlog(N_EVENTS, N_KEYS, seed=SEED),
+                snapshot=snapshot_envelopes(N_KEYS, seed=SEED),
+            )
+        monkeypatch.setattr(sa, "_make_shard_pool", real_make)
+        # atomicity: the failed run committed nothing
+        assert job.ckpt.restore() is None
+        res = job.run_streaming(
+            binlog(N_EVENTS, N_KEYS, seed=SEED),
+            snapshot=snapshot_envelopes(N_KEYS, seed=SEED),
+        )
+        assert res.events_seen == N_EVENTS + N_KEYS
+        assert set(_state(job)) == set(
+            oracle_apply(N_EVENTS, N_KEYS, seed=SEED)
+        )
