@@ -309,14 +309,18 @@ def q_text_bpe_tokens(sf_dir: str):
 
 
 def q_multimodal_pipeline(sf_dir: str):
-    """Multimodal plumbing end-to-end (binary column → typed meta →
-    actor-pool decode → feature extraction).  Codecs are deterministic
-    stubs (no PIL/libav in this container — clearly marked in
-    functions/multimodal.py); the Ray plumbing (schema, small batch
-    size, actor pools, fixed-size tensor/feature columns) is real."""
+    """Multimodal pipeline end-to-end (binary column → typed meta from a
+    REAL header parse → actor-pool decode → feature extraction).  The
+    payloads are valid PPM (netpbm P6) images synthesized
+    deterministically from each document's text bytes, so the decode +
+    resize + feature stages run the genuine numeric path
+    (functions/imagecodec.py) — no PIL needed.  Compressed formats
+    (PNG/JPEG) would take the labeled fallback in functions/multimodal.py."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from plugin_debezium_ray.functions.imagecodec import encode_ppm
     from plugin_debezium_ray.functions.multimodal import (
         ImageDecode,
         ImageFeatures,
@@ -328,10 +332,17 @@ def q_multimodal_pipeline(sf_dir: str):
     )
 
     def to_binary(t: pa.Table) -> pa.Table:
-        # deterministic stand-in payloads: the utf-8 bytes of the text
-        img = pc.cast(t["text"].combine_chunks(), pa.binary())
+        # deterministic payloads: each doc's utf-8 bytes tiled into a
+        # real 16x16 RGB PPM image (a valid, decodable file)
+        imgs = []
+        for s in t["text"].to_pylist():
+            raw = np.frombuffer(s.encode(), dtype=np.uint8)
+            px = np.resize(raw if raw.size else np.zeros(1, np.uint8),
+                           (16, 16, 3))
+            imgs.append(encode_ppm(px))
         return pa.table(
-            {"doc_id": t["doc_id"].combine_chunks(), "image": img}
+            {"doc_id": t["doc_id"].combine_chunks(),
+             "image": pa.array(imgs, type=pa.binary())}
         )
 
     out = (

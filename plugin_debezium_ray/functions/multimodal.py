@@ -2,11 +2,14 @@
 columns with typed metadata structs.
 
 The Ray-side plumbing (schemas, actor-pool stages, batch sizing, output
-layout) is real and tested; the codec work itself is STUBBED — the
-image/audio libraries are not in this container.  Each stage tries the
-real library first and otherwise uses a clearly-marked deterministic
-fake (or raises ``NotImplementedError`` in strict mode), so swapping in
-PIL/libav on a real cluster changes nothing structural.
+layout) is real and tested.  The decode path is now REAL for
+self-describing formats (netpbm P5/P6, uncompressed BMP, PCM-16 WAV —
+see ``imagecodec.py``: pure header parse + ``np.frombuffer``, no
+external library).  Compressed formats (PNG/JPEG, MP3/AAC) still need
+PIL/libav, which are not in this container: those payloads fall back to
+a clearly-marked deterministic fake (or ``NotImplementedError`` in
+strict mode), so swapping in PIL/libav on a real cluster changes
+nothing structural.
 
 Batch-size guidance (SURVEY.md 'Memory-aware'): binary payloads are
 large — pair these stages with a small ``batch_size`` (e.g. 64) and
@@ -19,6 +22,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from . import imagecodec
 
 IMAGE_META_TYPE = pa.struct(
     [
@@ -49,9 +54,11 @@ def _fake_pixels(data: bytes, h: int, w: int, c: int) -> np.ndarray:
 
 class ImageDecode:
     """Actor-pool stage: ``binary`` image column → fixed-size uint8
-    tensor column (decode + resize fused).  Real path uses PIL when
-    available; otherwise the deterministic fake (or strict=True →
-    NotImplementedError, marking the codec gap explicitly)."""
+    tensor column (decode + resize fused).  Decode priority per payload:
+    PIL when available (any format) → pure-numpy codec for netpbm/BMP
+    (``imagecodec.decode_image`` — a real decode, no library needed) →
+    deterministic fake (or strict=True → NotImplementedError, marking
+    the compressed-codec gap explicitly)."""
 
     def __init__(
         self,
@@ -81,10 +88,16 @@ class ImageDecode:
 
             img = self._pil.open(io.BytesIO(data)).convert("RGB").resize((w, h))
             return np.asarray(img, dtype=np.uint8)
+        px = imagecodec.decode_image(data)  # real decode: ppm/pgm/bmp
+        if px is not None:
+            if px.shape[2] == 1:  # gray → RGB
+                px = np.repeat(px, 3, axis=2)
+            return imagecodec.resize_nearest(px, (h, w))
         if self.strict:
             raise NotImplementedError(
-                "image codec not available in this environment (PIL missing); "
-                "run with strict=False for the deterministic stub"
+                "compressed image codec not available in this environment "
+                "(PIL missing); netpbm/BMP payloads decode natively; run "
+                "with strict=False for the deterministic stub on others"
             )
         return _fake_pixels(data, h, w, 3)
 
@@ -131,9 +144,11 @@ class ImageFeatures:
 
 
 class AudioFrameSample:
-    """Actor-pool stage: ``binary`` audio column → fixed number of
-    frame-sample offsets + a per-frame energy proxy.  Codec stubbed the
-    same way as ImageDecode."""
+    """Actor-pool stage: ``binary`` audio column → per-frame RMS energy
+    over ``n_frames`` equal segments.  PCM-16 WAV payloads decode for
+    real (``imagecodec.decode_wav`` — chunk walk + ``np.frombuffer``);
+    compressed codecs (MP3/AAC — libav absent) fall back to the
+    deterministic fake, or raise in strict mode."""
 
     def __init__(self, *, bytes_col: str = "audio", n_frames: int = 8,
                  strict: bool = False):
@@ -141,18 +156,33 @@ class AudioFrameSample:
         self.n_frames = n_frames
         self.strict = strict
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def _energies_one(self, v: bytes) -> list[float]:
+        if imagecodec.sniff_format(v) == "wav":
+            samples, _rate = imagecodec.decode_wav(v)
+            mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+            # RMS per equal-width frame; empty frames (clip shorter than
+            # n_frames samples) report 0.
+            edges = np.linspace(0, len(mono), self.n_frames + 1).astype(np.int64)
+            sq = np.concatenate([[0.0], np.cumsum(mono * mono)])
+            counts = np.diff(edges)
+            sums = sq[edges[1:]] - sq[edges[:-1]]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rms = np.sqrt(np.where(counts > 0, sums / np.maximum(counts, 1), 0.0))
+            return rms.tolist()
         if self.strict:
-            raise NotImplementedError("audio codec not available (no libav)")
-        energies = []
-        for v in t[self.bytes_col].to_pylist():
-            if v is None:
-                energies.append(None)
-                continue
-            # deterministic fake: frame energies from payload digest chunks
-            d = hashlib.sha256(v).digest()
-            vals = [d[i % 32] / 255.0 for i in range(self.n_frames)]
-            energies.append(vals)
+            raise NotImplementedError(
+                "compressed audio codec not available (no libav); PCM WAV "
+                "payloads decode natively"
+            )
+        # deterministic fake: frame energies from payload digest chunks
+        d = hashlib.sha256(v).digest()
+        return [d[i % 32] / 255.0 for i in range(self.n_frames)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        energies = [
+            None if v is None else self._energies_one(v)
+            for v in t[self.bytes_col].to_pylist()
+        ]
         return t.append_column(
             "frame_energy",
             pa.array(energies, type=pa.list_(pa.float64(), self.n_frames)),
@@ -160,13 +190,28 @@ class AudioFrameSample:
 
 
 def attach_image_meta(t: pa.Table, *, bytes_col: str = "image") -> pa.Table:
-    """Typed metadata struct for a binary image column (fake headers)."""
+    """Typed metadata struct for a binary image column.  For
+    self-describing formats (netpbm/BMP) the width/height/channels come
+    from a REAL header parse; unknown/compressed payloads get
+    ``format=None`` dims ``-1`` (honest 'unparsed' marker, not a fake
+    header)."""
     metas = []
     for v in t[bytes_col].to_pylist():
         if v is None:
             metas.append(None)
             continue
-        metas.append(
-            {"format": "png", "width": 64, "height": 64, "channels": 3}
-        )
+        kind = imagecodec.sniff_format(v)
+        if kind in ("ppm", "pgm"):
+            _, w, h, _maxval, _off = imagecodec._pnm_header(v)
+            metas.append({"format": kind, "width": w, "height": h,
+                          "channels": 3 if kind == "ppm" else 1})
+        elif kind == "bmp":
+            import struct
+
+            w, h_signed = struct.unpack_from("<ii", v, 18)
+            metas.append({"format": "bmp", "width": w, "height": abs(h_signed),
+                          "channels": 3})
+        else:
+            metas.append({"format": kind, "width": -1, "height": -1,
+                          "channels": -1})
     return t.append_column("image_meta", pa.array(metas, type=IMAGE_META_TYPE))

@@ -61,6 +61,16 @@ def test_cdc_six_ops_golden():
     assert [list(r) for r in out.itertuples(index=False)] == want
 
 
+def test_multimodal_golden():
+    """Real-codec multimodal pipeline output (PPM decode → resize →
+    features), pinned: any drift in the codec/resize/feature math shows
+    here."""
+    want = _golden("multimodal_pipeline")
+    out = _queries()["multimodal_pipeline"](SF_DIR).to_pandas()
+    got = sorted(map(list, out.itertuples(index=False)))
+    assert got == want
+
+
 def test_embedding_pairs_golden():
     want = [list(map(int, p)) for p in _golden("dedup_embedding")]
     out = _queries()["dedup_embedding"](SF_DIR)

@@ -56,6 +56,10 @@ def main() -> None:
             list(r) for r in
             qs["cdc_six_ops"](SF_DIR).itertuples(index=False)
         ],
+        "multimodal_pipeline": sorted(
+            map(list, qs["multimodal_pipeline"](SF_DIR)
+                .to_pandas().itertuples(index=False))
+        ),
     }
     for name, data in goldens.items():
         path = os.path.join(OUT, f"{name}.json")
