@@ -384,6 +384,112 @@ def q_multimodal_pipeline(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Audio pipeline: valid PCM-16 WAV payloads synthesized
+    deterministically from each document's text bytes → actor-pool
+    frame-RMS energies over the REAL decode path
+    (functions/imagecodec.py:decode_wav)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.functions.imagecodec import encode_wav
+    from plugin_debezium_ray.functions.multimodal import AudioFrameSample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        clips = []
+        for s in t["text"].to_pylist():
+            raw = np.frombuffer(s.encode(), dtype=np.uint8)
+            # center around 0 and scale to ~1/4 full-scale int16
+            samples = ((raw.astype(np.int32) - 128) * 64).astype(np.int16)
+            clips.append(encode_wav(np.resize(samples, 2048), 8000))
+        return pa.table(
+            {"doc_id": t["doc_id"].combine_chunks(),
+             "audio": pa.array(clips, type=pa.binary())}
+        )
+
+    out = ds.map_batches(to_wav, batch_format="pyarrow").map_batches(
+        AudioFrameSample,
+        fn_constructor_kwargs={"n_frames": 4, "strict": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+    )
+
+    def flat(t: pa.Table) -> pa.Table:
+        e = t["frame_energy"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "e0": pc.round(pc.list_element(e, 0), ndigits=4),
+                "e3": pc.round(pc.list_element(e, 3), ndigits=4),
+            }
+        )
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
+def q_multimodal_video(sf_dir: str):
+    """Video pipeline: concatenated-PPM streams (ffmpeg image2pipe
+    format) synthesized per document → actor-pool frame sampling that
+    decodes ONLY the sampled frames (header-walk seek), resize, and a
+    per-clip temporal feature."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.functions.imagecodec import encode_ppm_stream
+    from plugin_debezium_ray.functions.multimodal import VideoFrameSample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_video(t: pa.Table) -> pa.Table:
+        clips = []
+        for s in t["text"].to_pylist():
+            raw = np.frombuffer(s.encode(), dtype=np.uint8)
+            n_frames = 3 + (len(raw) % 5)  # 3..7 frames per clip
+            frames = [
+                np.resize(np.roll(raw, 7 * i), (8, 8, 3))
+                for i in range(n_frames)
+            ]
+            clips.append(encode_ppm_stream(frames))
+        return pa.table(
+            {"doc_id": t["doc_id"].combine_chunks(),
+             "video": pa.array(clips, type=pa.binary())}
+        )
+
+    out = ds.map_batches(to_video, batch_format="pyarrow").map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"n_frames": 2, "size": (4, 4), "strict": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+    )
+
+    def flat(t: pa.Table) -> pa.Table:
+        frames = t["frames"].combine_chunks()
+        # mean over the sampled-frame tensor = a temporal brightness
+        # proxy; one vectorized reshape-mean over the whole batch
+        width = frames.type.list_size
+        vals = np.asarray(frames.values, dtype=np.float64).reshape(-1, width)
+        means = pa.array(np.round(vals.mean(axis=1), 4), pa.float64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "frame_count": t["frame_count"].combine_chunks(),
+                "mean_px": means,
+            }
+        )
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
 def q_dedup_minhash(sf_dir: str):
     from plugin_debezium_ray.functions.dedup import minhash_dedup
 
@@ -637,6 +743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_langid": q_text_langid,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_approx": q_ann_ivf_approx,

@@ -186,6 +186,61 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+# ------------------------------------------------- ppm video streams
+#
+# A "video" here is a stream of concatenated binary netpbm frames —
+# exactly what ``ffmpeg -f image2pipe -vcodec ppm`` produces.  Each
+# frame is self-describing, so frame boundaries come from header walks
+# (cheap: a few bytes per frame) and only SAMPLED frames are decoded.
+
+
+def ppm_stream_offsets(data: bytes) -> list[tuple[int, int, int, int]]:
+    """Walk a concatenated P5/P6 stream → one (payload_offset, width,
+    height, channels) tuple per frame, decoding no pixel data."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        magic = data[pos : pos + 2]
+        if magic not in (b"P5", b"P6"):
+            raise ValueError(f"bad frame magic at offset {pos}: {magic!r}")
+        _, w, h, maxval, off = _pnm_header(data[pos:])
+        if maxval > 255:
+            raise ValueError("16-bit netpbm not supported")
+        c = 3 if magic == b"P6" else 1
+        frames.append((pos + off, w, h, c))
+        pos += off + w * h * c
+    return frames
+
+
+def decode_ppm_stream(
+    data: bytes, sample: int | None = None
+) -> tuple[list[np.ndarray], int]:
+    """Concatenated-PPM video → (decoded frames, total frame count).
+    With ``sample=k``, only k evenly-spaced frames are decoded (first
+    and last included for k >= 2); pixel bytes of skipped frames are
+    never touched."""
+    offsets = ppm_stream_offsets(data)
+    total = len(offsets)
+    if sample is None or sample >= total:
+        idx = range(total)
+    elif sample <= 1:
+        idx = [0]
+    else:
+        idx = np.round(np.linspace(0, total - 1, sample)).astype(int).tolist()
+    out = []
+    for i in idx:
+        off, w, h, c = offsets[i]
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=off)
+        out.append(px.reshape(h, w, c))
+    return out, total
+
+
+def encode_ppm_stream(frames: list[np.ndarray]) -> bytes:
+    """Frame arrays → concatenated-PPM bytes (fixture + round-trip)."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
 # ------------------------------------------------------------- resize
 
 

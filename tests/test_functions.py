@@ -638,3 +638,52 @@ class TestImageCodec:
         assert ic.sniff_format(b"\x89PNG\r\n\x1a\nxxxx") == "png"
         assert ic.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
         assert ic.sniff_format(b"hello") is None
+
+    def test_ppm_stream_round_trip_and_sampling(self):
+        from plugin_debezium_ray.functions import imagecodec as ic
+
+        rng = np.random.default_rng(11)
+        frames = [rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+                  for _ in range(7)]
+        data = ic.encode_ppm_stream(frames)
+        all_frames, total = ic.decode_ppm_stream(data)
+        assert total == 7
+        assert all(np.array_equal(a, b) for a, b in zip(all_frames, frames))
+        # sampled decode: first and last always included, evenly spaced
+        sampled, total = ic.decode_ppm_stream(data, sample=3)
+        assert total == 7 and len(sampled) == 3
+        assert np.array_equal(sampled[0], frames[0])
+        assert np.array_equal(sampled[2], frames[6])
+
+    def test_ppm_stream_mixed_frame_sizes(self):
+        from plugin_debezium_ray.functions import imagecodec as ic
+
+        a = np.zeros((2, 2, 3), dtype=np.uint8)
+        b = np.full((5, 3), 9, dtype=np.uint8)  # gray frame, other dims
+        frames, total = ic.decode_ppm_stream(
+            ic.encode_ppm_stream([a, b]), sample=None
+        )
+        assert total == 2
+        assert frames[0].shape == (2, 2, 3) and frames[1].shape == (5, 3, 1)
+
+    def test_video_frame_sample_stage(self):
+        from plugin_debezium_ray.functions import imagecodec as ic
+        from plugin_debezium_ray.functions.multimodal import VideoFrameSample
+
+        frames = [np.full((8, 8, 3), 10 * i, dtype=np.uint8)
+                  for i in range(6)]
+        clip = ic.encode_ppm_stream(frames)
+        stage = VideoFrameSample(n_frames=2, size=(4, 4), strict=True)
+        out = stage(pa.table({"video": pa.array([clip, None], pa.binary())}))
+        assert out["frame_count"][0].as_py() == 6
+        assert out["frame_count"][1].as_py() is None
+        px = np.asarray(out["frames"][0].as_py(), np.uint8).reshape(2, 4, 4, 3)
+        assert np.all(px[0] == 0) and np.all(px[1] == 50)  # first + last
+
+    def test_video_strict_rejects_unknown_container(self):
+        from plugin_debezium_ray.functions.multimodal import VideoFrameSample
+
+        with pytest.raises(NotImplementedError):
+            VideoFrameSample(strict=True)(
+                pa.table({"video": pa.array([b"\x00\x00ftypmp4"], pa.binary())})
+            )

@@ -71,6 +71,18 @@ def test_multimodal_golden():
     assert got == want
 
 
+def test_multimodal_audio_golden():
+    want = _golden("multimodal_audio")
+    out = _queries()["multimodal_audio"](SF_DIR).to_pandas()
+    assert sorted(map(list, out.itertuples(index=False))) == want
+
+
+def test_multimodal_video_golden():
+    want = _golden("multimodal_video")
+    out = _queries()["multimodal_video"](SF_DIR).to_pandas()
+    assert sorted(map(list, out.itertuples(index=False))) == want
+
+
 def test_embedding_pairs_golden():
     want = [list(map(int, p)) for p in _golden("dedup_embedding")]
     out = _queries()["dedup_embedding"](SF_DIR)

@@ -60,6 +60,14 @@ def main() -> None:
             map(list, qs["multimodal_pipeline"](SF_DIR)
                 .to_pandas().itertuples(index=False))
         ),
+        "multimodal_audio": sorted(
+            map(list, qs["multimodal_audio"](SF_DIR)
+                .to_pandas().itertuples(index=False))
+        ),
+        "multimodal_video": sorted(
+            map(list, qs["multimodal_video"](SF_DIR)
+                .to_pandas().itertuples(index=False))
+        ),
     }
     for name, data in goldens.items():
         path = os.path.join(OUT, f"{name}.json")
