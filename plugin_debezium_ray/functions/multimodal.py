@@ -22,6 +22,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import imagecodec
 
@@ -127,20 +128,19 @@ class ImageFeatures:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         h, w = self.size
-        feats = []
-        for v in t[self.pixels_col].to_pylist():
-            if v is None:
-                feats.append(None)
-                continue
-            px = np.asarray(v, dtype=np.float32).reshape(h, w, 3)
-            feats.append(
-                np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))]) / 255.0
-            )
-        return t.append_column(
-            self.out_col,
-            pa.array([None if f is None else f.tolist() for f in feats],
-                     type=pa.list_(pa.float32(), 6)),
+        col = t[self.pixels_col].combine_chunks()
+        # fixed-size lists keep child slots for null rows too, so one
+        # reshape covers the whole batch; null rows are masked after
+        px = np.asarray(col.values, dtype=np.float32).reshape(-1, h * w, 3)
+        feats = np.concatenate(
+            [px.mean(axis=1), px.std(axis=1)], axis=1
+        ) / np.float32(255.0)
+        flat = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1), pa.float32()), 6
         )
+        if col.null_count:
+            flat = pc.if_else(pc.is_null(col), None, flat)
+        return t.append_column(self.out_col, flat)
 
 
 class AudioFrameSample:
