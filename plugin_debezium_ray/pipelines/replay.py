@@ -572,6 +572,149 @@ class ReplayJob:
             if callable(close):
                 close()  # join the _idle_bounded producer deterministically
 
+    # ----------------------------------------------------- follow mode
+
+    def _scan_new_segments(self, wal_dir: str, seen: set) -> list:
+        """Lexicographically-ordered parquet segments under ``wal_dir``
+        not processed yet.  Producers must write-then-rename (atomic
+        publish) — a half-written file that sorts into view would
+        otherwise be read mid-write; ``*.tmp``/dotfiles are ignored."""
+        import glob as _glob
+
+        paths = sorted(_glob.glob(os.path.join(wal_dir, "*.parquet")))
+        return [
+            p
+            for p in paths
+            if os.path.basename(p) not in seen
+            and not os.path.basename(p).startswith(".")
+        ]
+
+    def follow_events(
+        self,
+        wal_dir: str,
+        *,
+        poll_interval: float = 0.5,
+        batch_size: int = 4096,
+        max_wait_seconds: float | None = None,
+        max_duration_seconds: float | None = None,
+        stop_event=None,
+    ):
+        """Unbounded realtime surface: watch ``wal_dir`` for newly
+        arriving WAL segment files and publish every record as it
+        lands — the reference's realtime trigger loop (the engine runs
+        until stopped, each record becomes an execution,
+        `AbstractDebeziumRealtimeTrigger.java:141-213`), driven by
+        segment arrival instead of an embedded engine thread.
+
+        Stops on ``stop_event`` (promptly, record granularity), on
+        ``max_duration_seconds`` total wall, or after
+        ``max_wait_seconds`` with no NEW segment (idle ``maxWait``,
+        `AbstractDebeziumTask.java:626-630`); all three default to the
+        config values.  Segments must arrive in ascending LSN order
+        (standard WAL naming sorts that way); arrival is detected by
+        filename, so producers publish via write-then-rename.
+        Publish-only like ``iter_events`` — pair with ``follow_apply``
+        when the lake should advance too."""
+        max_wait = (
+            max_wait_seconds
+            if max_wait_seconds is not None
+            else self.cfg.max_wait_seconds
+        )
+        max_dur = (
+            max_duration_seconds
+            if max_duration_seconds is not None
+            else self.cfg.max_duration_seconds
+        )
+        seen: set = set()
+        t0 = time.monotonic()
+        last_new = t0
+
+        def stopped() -> bool:
+            return (
+                (stop_event is not None and stop_event.is_set())
+                or (max_dur is not None and time.monotonic() - t0 >= max_dur)
+            )
+
+        while not stopped():
+            new = self._scan_new_segments(wal_dir, seen)
+            if new:
+                last_new = time.monotonic()
+                seen.update(os.path.basename(p) for p in new)
+                ds = ray.data.read_parquet(new)
+                # the segment itself is bounded: no idle bound inside,
+                # but the caller's stop handle still halts per record
+                yield from self.iter_events(
+                    ds, batch_size=batch_size, stop_event=stop_event
+                )
+                continue
+            if (
+                max_wait is not None
+                and time.monotonic() - last_new >= max_wait
+            ):
+                return
+            deadline = time.monotonic() + poll_interval
+            while time.monotonic() < deadline:
+                if stopped():
+                    return
+                time.sleep(min(0.05, poll_interval))
+
+    def follow_apply(
+        self,
+        wal_dir: str,
+        *,
+        poll_interval: float = 0.5,
+        streaming: bool = False,
+        max_wait_seconds: float | None = None,
+        max_duration_seconds: float | None = None,
+        stop_event=None,
+        **run_kw,
+    ):
+        """Unbounded capture surface: watch ``wal_dir`` and commit every
+        newly arriving segment batch to the lake atomically, yielding
+        one ``ReplayResult`` per commit (ON_EACH_BATCH cadence over an
+        endless stream).  Restart-safe: the offset ledger makes a
+        rescan-from-zero after a crash apply 0 events for segments
+        already committed.  Same arrival/ordering contract and stop
+        semantics as ``follow_events`` (idle clock resets on each new
+        segment)."""
+        max_wait = (
+            max_wait_seconds
+            if max_wait_seconds is not None
+            else self.cfg.max_wait_seconds
+        )
+        max_dur = (
+            max_duration_seconds
+            if max_duration_seconds is not None
+            else self.cfg.max_duration_seconds
+        )
+        seen: set = set()
+        t0 = time.monotonic()
+        last_new = t0
+
+        def stopped() -> bool:
+            return (
+                (stop_event is not None and stop_event.is_set())
+                or (max_dur is not None and time.monotonic() - t0 >= max_dur)
+            )
+
+        while not stopped():
+            new = self._scan_new_segments(wal_dir, seen)
+            if new:
+                last_new = time.monotonic()
+                seen.update(os.path.basename(p) for p in new)
+                yield self.run_from_paths(new, streaming=streaming, **run_kw)
+                continue
+            if (
+                max_wait is not None
+                and time.monotonic() - last_new >= max_wait
+            ):
+                return
+            deadline = time.monotonic() + poll_interval
+            while time.monotonic() < deadline:
+                if stopped():
+                    return
+                time.sleep(min(0.05, poll_interval))
+
     # ------------------------------------------------------- read back
 
     def read_table(self) -> "ray.data.Dataset":
