@@ -86,6 +86,18 @@ def cmd_capture(args) -> dict:
     }
 
 
+def _jsonable(o):
+    """Keep the one-line JSON machine-parseable: numpy scalars emit as
+    numbers, everything else falls back to its string form."""
+    import numpy as np
+
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    return str(o)
+
+
 def cmd_lineage(args) -> dict:
     from plugin_debezium_ray.pipelines.replay import ReplayJob
     from plugin_debezium_ray.config import CaptureConfig
@@ -93,11 +105,15 @@ def cmd_lineage(args) -> dict:
     # manifest read only — no Ray session needed
     job = ReplayJob(CaptureConfig(), args.lake)
     df = job.lineage()
+    # df.to_json (not to_dict) so missing offsets become JSON null —
+    # pandas' None→NaN coercion would otherwise emit the bare NaN token
+    # (invalid JSON) — and numpy ints stay numbers instead of hitting
+    # json.dumps' default=str
     return {
         "command": "lineage",
         "version": df.attrs.get("version"),
         "metrics": df.attrs.get("metrics", {}),
-        "buckets": df.to_dict(orient="records"),
+        "buckets": json.loads(df.to_json(orient="records")),
     }
 
 
@@ -149,7 +165,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     out = args.fn(args)
-    print(json.dumps(out, default=str))
+    print(json.dumps(out, default=_jsonable))
     return 0
 
 

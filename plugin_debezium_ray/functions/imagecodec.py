@@ -42,10 +42,15 @@ def sniff_format(data: bytes) -> str | None:
 # ------------------------------------------------------------- netpbm
 
 
-def _pnm_header(data: bytes) -> tuple[bytes, int, int, int, int]:
-    """Parse a P5/P6 header: (magic, width, height, maxval, data_offset).
-    Whitespace-separated tokens; ``#`` comments run to end-of-line."""
-    pos = 2
+def _pnm_header(
+    data: bytes, start: int = 0
+) -> tuple[bytes, int, int, int, int]:
+    """Parse a P5/P6 header at ``start``: (magic, width, height, maxval,
+    data_offset) with ``data_offset`` relative to ``start``.
+    Whitespace-separated tokens; ``#`` comments run to end-of-line.
+    The offset parameter lets stream walkers avoid copying the
+    remaining buffer per frame."""
+    pos = start + 2
     vals: list[int] = []
     n = len(data)
     while len(vals) < 3:
@@ -55,13 +60,14 @@ def _pnm_header(data: bytes) -> tuple[bytes, int, int, int, int]:
             while pos < n and data[pos] not in (0x0A, 0x0D):
                 pos += 1
             continue
-        start = pos
+        tok_start = pos
         while pos < n and not data[pos : pos + 1].isspace():
             pos += 1
-        if start == pos:
+        if tok_start == pos:
             raise ValueError("truncated netpbm header")
-        vals.append(int(data[start:pos]))
-    return data[:2], vals[0], vals[1], vals[2], pos + 1  # one ws after maxval
+        vals.append(int(data[tok_start:pos]))
+    # one whitespace byte after maxval; offset is relative to `start`
+    return data[start : start + 2], vals[0], vals[1], vals[2], pos + 1 - start
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
@@ -204,7 +210,7 @@ def ppm_stream_offsets(data: bytes) -> list[tuple[int, int, int, int]]:
         magic = data[pos : pos + 2]
         if magic not in (b"P5", b"P6"):
             raise ValueError(f"bad frame magic at offset {pos}: {magic!r}")
-        _, w, h, maxval, off = _pnm_header(data[pos:])
+        _, w, h, maxval, off = _pnm_header(data, pos)
         if maxval > 255:
             raise ValueError("16-bit netpbm not supported")
         c = 3 if magic == b"P6" else 1

@@ -19,6 +19,7 @@ large — pair these stages with a small ``batch_size`` (e.g. 64) and
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -89,7 +90,15 @@ class ImageDecode:
 
             img = self._pil.open(io.BytesIO(data)).convert("RGB").resize((w, h))
             return np.asarray(img, dtype=np.uint8)
-        px = imagecodec.decode_image(data)  # real decode: ppm/pgm/bmp
+        try:
+            px = imagecodec.decode_image(data)  # real decode: ppm/pgm/bmp
+        except Exception:
+            # magic matched but the payload is malformed/truncated:
+            # strict surfaces it, non-strict degrades per row (one bad
+            # blob must not abort the whole map_batches job)
+            if self.strict:
+                raise
+            px = None
         if px is not None:
             if px.shape[2] == 1:  # gray → RGB
                 px = np.repeat(px, 3, axis=2)
@@ -158,7 +167,12 @@ class AudioFrameSample:
 
     def _energies_one(self, v: bytes) -> list[float]:
         if imagecodec.sniff_format(v) == "wav":
-            samples, _rate = imagecodec.decode_wav(v)
+            try:
+                samples, _rate = imagecodec.decode_wav(v)
+            except Exception:
+                if self.strict:
+                    raise
+                return self._fake_energies(v)
             mono = samples.astype(np.float64).mean(axis=1) / 32768.0
             # RMS per equal-width frame; empty frames (clip shorter than
             # n_frames samples) report 0.
@@ -174,6 +188,9 @@ class AudioFrameSample:
                 "compressed audio codec not available (no libav); PCM WAV "
                 "payloads decode natively"
             )
+        return self._fake_energies(v)
+
+    def _fake_energies(self, v: bytes) -> list[float]:
         # deterministic fake: frame energies from payload digest chunks
         d = hashlib.sha256(v).digest()
         return [d[i % 32] / 255.0 for i in range(self.n_frames)]
@@ -212,7 +229,15 @@ class VideoFrameSample:
     def _sample_one(self, data: bytes) -> tuple[np.ndarray, int]:
         h, w = self.size
         if data[:2] in (b"P5", b"P6"):
-            frames, total = imagecodec.decode_ppm_stream(data, self.n_frames)
+            try:
+                frames, total = imagecodec.decode_ppm_stream(
+                    data, self.n_frames
+                )
+            except Exception:
+                # malformed/truncated stream: degrade per row unless strict
+                if self.strict:
+                    raise
+                return self._fake_frames(data), -1
             out = []
             for px in frames:
                 if px.shape[2] == 1:
@@ -226,9 +251,13 @@ class VideoFrameSample:
                 "container video codec not available (no libav); "
                 "concatenated-PPM streams decode natively"
             )
+        return self._fake_frames(data), -1
+
+    def _fake_frames(self, data: bytes) -> np.ndarray:
+        h, w = self.size
         return _fake_pixels(data, self.n_frames * h, w, 3).reshape(
             self.n_frames, h, w, 3
-        ), -1
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         h, w = self.size
@@ -261,17 +290,19 @@ def attach_image_meta(t: pa.Table, *, bytes_col: str = "image") -> pa.Table:
             metas.append(None)
             continue
         kind = imagecodec.sniff_format(v)
-        if kind in ("ppm", "pgm"):
-            _, w, h, _maxval, _off = imagecodec._pnm_header(v)
-            metas.append({"format": kind, "width": w, "height": h,
-                          "channels": 3 if kind == "ppm" else 1})
-        elif kind == "bmp":
-            import struct
-
-            w, h_signed = struct.unpack_from("<ii", v, 18)
-            metas.append({"format": "bmp", "width": w, "height": abs(h_signed),
-                          "channels": 3})
-        else:
-            metas.append({"format": kind, "width": -1, "height": -1,
-                          "channels": -1})
+        try:
+            if kind in ("ppm", "pgm"):
+                _, w, h, _maxval, _off = imagecodec._pnm_header(v)
+                metas.append({"format": kind, "width": w, "height": h,
+                              "channels": 3 if kind == "ppm" else 1})
+                continue
+            if kind == "bmp":
+                w, h_signed = struct.unpack_from("<ii", v, 18)
+                metas.append({"format": "bmp", "width": w,
+                              "height": abs(h_signed), "channels": 3})
+                continue
+        except Exception:
+            pass  # magic matched, header unparseable → honest marker below
+        metas.append({"format": kind, "width": -1, "height": -1,
+                      "channels": -1})
     return t.append_column("image_meta", pa.array(metas, type=IMAGE_META_TYPE))

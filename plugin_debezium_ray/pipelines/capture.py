@@ -85,24 +85,24 @@ def capture_to_files(
     return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)
 
 
-def _capture_jsonl(
-    decoded: "ray.data.Dataset", out_dir: str
+def _capture_rows(
+    decoded: "ray.data.Dataset", out_dir: str, write_stream
 ) -> CaptureOutput:
-    """One JSON-lines directory per stream (K1 row-JSON contract).
-
-    The decoded stream is materialized ONCE (so the per-stream filtered
-    writes below don't re-run the decode), then each stream filter-writes
-    its own directory — block-streaming, driver sees only stream names
-    and counts."""
+    """Shared per-stream row-file capture: the decoded stream is
+    materialized ONCE (so the per-stream filtered writes don't re-run
+    the decode), per-stream counts come from ONE aggregate pass, then
+    each stream filter-writes its own directory via ``write_stream(sub,
+    path)`` — block-streaming, driver sees only stream names/counts."""
     import pyarrow.compute as pc
 
     decoded = decoded.materialize()
-    streams = sorted(
-        x for x in decoded.unique(STREAM_COL) if x is not None
-    )
-    counts: dict[str, int] = {}
+    counts = {
+        r[STREAM_COL]: r["count()"]
+        for r in decoded.groupby(STREAM_COL).count().take_all()
+        if r[STREAM_COL] is not None
+    }
     uris: dict[str, str] = {}
-    for stream in streams:
+    for stream in sorted(counts):
         sub = decoded.map_batches(
             lambda t, s=stream: t.filter(
                 pc.equal(t[STREAM_COL], s)
@@ -110,10 +110,18 @@ def _capture_jsonl(
             batch_format="pyarrow",
         )
         path = os.path.join(out_dir, stream)
-        sub.write_json(path)
-        counts[stream] = sub.count()
+        write_stream(sub, path)
         uris[stream] = path
     return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)
+
+
+def _capture_jsonl(
+    decoded: "ray.data.Dataset", out_dir: str
+) -> CaptureOutput:
+    """One JSON-lines directory per stream (K1 row-JSON contract)."""
+    return _capture_rows(
+        decoded, out_dir, lambda sub, path: sub.write_json(path)
+    )
 
 
 def _make_ion_datasink(path: str):
@@ -139,26 +147,9 @@ def _capture_ion(
     decoded: "ray.data.Dataset", out_dir: str
 ) -> CaptureOutput:
     """One Amazon-Ion-text directory per stream (the reference's
-    FileSerde row contract with typed scalars).  Mirrors the jsonl path:
-    per-stream filtered block-streaming writes, driver sees only stream
-    names and counts."""
-    import pyarrow.compute as pc
-
-    decoded = decoded.materialize()
-    streams = sorted(
-        x for x in decoded.unique(STREAM_COL) if x is not None
+    FileSerde row contract with typed scalars)."""
+    return _capture_rows(
+        decoded,
+        out_dir,
+        lambda sub, path: sub.write_datasink(_make_ion_datasink(path)),
     )
-    counts: dict[str, int] = {}
-    uris: dict[str, str] = {}
-    for stream in streams:
-        sub = decoded.map_batches(
-            lambda t, s=stream: t.filter(
-                pc.equal(t[STREAM_COL], s)
-            ).drop_columns([STREAM_COL]),
-            batch_format="pyarrow",
-        )
-        path = os.path.join(out_dir, stream)
-        sub.write_datasink(_make_ion_datasink(path))
-        counts[stream] = sub.count()
-        uris[stream] = path
-    return CaptureOutput(size=sum(counts.values()), uris=uris, counts=counts)

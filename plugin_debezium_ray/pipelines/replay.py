@@ -607,10 +607,12 @@ class ReplayJob:
         segment arrival instead of an embedded engine thread.
 
         Stops on ``stop_event`` (promptly, record granularity), on
-        ``max_duration_seconds`` total wall, or after
-        ``max_wait_seconds`` with no NEW segment (idle ``maxWait``,
-        `AbstractDebeziumTask.java:626-630`); all three default to the
-        config values.  Segments must arrive in ascending LSN order
+        ``max_duration_seconds`` total wall (enforced INSIDE a drain —
+        the remaining budget is threaded into each segment's event
+        stream), or after ``max_wait_seconds`` with no NEW segment
+        (idle ``maxWait``, `AbstractDebeziumTask.java:626-630`; time
+        spent draining a segment is consume time, never idle time); all
+        three default to the config values.  Segments must arrive in ascending LSN order
         (standard WAL naming sorts that way); arrival is detected by
         filename, so producers publish via write-then-rename.
         Publish-only like ``iter_events`` — pair with ``follow_apply``
@@ -638,14 +640,25 @@ class ReplayJob:
         while not stopped():
             new = self._scan_new_segments(wal_dir, seen)
             if new:
-                last_new = time.monotonic()
                 seen.update(os.path.basename(p) for p in new)
                 ds = ray.data.read_parquet(new)
                 # the segment itself is bounded: no idle bound inside,
-                # but the caller's stop handle still halts per record
-                yield from self.iter_events(
-                    ds, batch_size=batch_size, stop_event=stop_event
+                # but the caller's stop handle still halts per record and
+                # the REMAINING wall budget bounds the drain itself
+                wall_left = (
+                    None
+                    if max_dur is None
+                    else max(0.0, max_dur - (time.monotonic() - t0))
                 )
+                yield from self.iter_events(
+                    ds,
+                    batch_size=batch_size,
+                    stop_event=stop_event,
+                    max_duration_seconds=wall_left,
+                )
+                # idle means "no NEW segment arrives for max_wait" — time
+                # spent draining a segment is consume time, not idle time
+                last_new = time.monotonic()
                 continue
             if (
                 max_wait is not None
@@ -674,9 +687,12 @@ class ReplayJob:
         one ``ReplayResult`` per commit (ON_EACH_BATCH cadence over an
         endless stream).  Restart-safe: the offset ledger makes a
         rescan-from-zero after a crash apply 0 events for segments
-        already committed.  Same arrival/ordering contract and stop
-        semantics as ``follow_events`` (idle clock resets on each new
-        segment)."""
+        already committed.  Same arrival/ordering contract as
+        ``follow_events``; stop conditions are checked BETWEEN commits —
+        a commit in flight always completes atomically (never torn by a
+        stop), so a stop can overshoot by one commit's duration.  The
+        idle clock excludes commit time (idle = no new segment for
+        ``max_wait`` after the previous batch finished committing)."""
         max_wait = (
             max_wait_seconds
             if max_wait_seconds is not None
@@ -700,9 +716,10 @@ class ReplayJob:
         while not stopped():
             new = self._scan_new_segments(wal_dir, seen)
             if new:
-                last_new = time.monotonic()
                 seen.update(os.path.basename(p) for p in new)
                 yield self.run_from_paths(new, streaming=streaming, **run_kw)
+                # commit time is consume time, not idle time
+                last_new = time.monotonic()
                 continue
             if (
                 max_wait is not None
@@ -780,9 +797,14 @@ def _idle_bounded(
 
     On ANY exit path (bound hit, external stop, consumer abandoning the
     generator) the producer is shut down deliberately: a shared stop flag
-    makes its bounded ``put`` give up, the queue is drained so a blocked
-    put can observe the flag, and the underlying Ray batch iterator is
-    closed — no daemon thread stays pinned to a live dataset stream."""
+    makes its bounded ``put`` give up and the queue is drained so a
+    blocked put can observe the flag; when the producer is parked in a
+    ``put`` it exits within ~0.1 s and closes the underlying Ray batch
+    iterator.  A producer blocked INSIDE ``batch_iter.__next__`` (the
+    stream is quiet — exactly the idle-stop case) cannot be interrupted
+    from outside; the consumer does NOT stall waiting for it (short
+    join), and the daemon thread retires itself the moment the iterator
+    yields or ends, closing the stream then."""
     import queue
     import threading
 
@@ -865,7 +887,11 @@ def _idle_bounded(
                 q.get_nowait()
             except queue.Empty:
                 break
-        t.join(timeout=5.0)
+        # a producer parked in put() exits within ~0.1s; one stuck in
+        # batch_iter.__next__ (idle stream) can't be interrupted — don't
+        # make every idle stop pay a long join for it (it self-retires
+        # when the iterator yields or ends)
+        t.join(timeout=0.3)
 
 
 def _env_schema(ds: "ray.data.Dataset") -> pa.Schema:

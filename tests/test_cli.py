@@ -29,10 +29,16 @@ def wal_and_snap(tmp_path_factory):
     return wal, snap
 
 
+def _reject_constants(name):
+    raise AssertionError(f"non-strict JSON token in CLI output: {name}")
+
+
 def run_cli(capsys, *argv) -> dict:
     assert main(list(argv)) == 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
-    return json.loads(out)
+    # strict parse: pandas NaN/Infinity tokens are NOT valid JSON and
+    # break non-Python consumers (jq etc.)
+    return json.loads(out, parse_constant=_reject_constants)
 
 
 class TestCli:
@@ -55,6 +61,11 @@ class TestCli:
         assert lin["version"] == 1
         buckets = lin["buckets"]
         assert sum(b["rows"] for b in buckets) == len(exp)
+        # machine-parseable contract: numbers arrive as JSON numbers,
+        # not default=str'd numpy scalars
+        assert all(isinstance(b["rows"], int) for b in buckets)
+        assert all(isinstance(b["last_lsn"], (int, type(None)))
+                   for b in buckets)
         assert all(b["last_lsn"] is not None for b in buckets
                    if b["events_seen"])
         assert all(b["fingerprint"] for b in buckets)

@@ -83,6 +83,31 @@ class TestFollowEvents:
                 stop.set()
         assert 30 <= seen < 400
 
+    def test_drain_time_is_not_idle_time(self, tmp_path):
+        """A drain slower than max_wait must NOT trip the idle stop: the
+        idle clock starts after the drain ends, so a segment arriving
+        during the slow drain (but within max_wait of its end) is still
+        picked up."""
+        wal = tmp_path / "wal"
+        wal.mkdir()
+        _write_segment(str(wal), 0, 100, base_lsn=1)
+
+        def later():
+            time.sleep(2.0)  # lands while segment 0 is still draining
+            _write_segment(str(wal), 1, 50, base_lsn=101)
+
+        t = threading.Thread(target=later)
+        t.start()
+        job = ReplayJob(CaptureConfig(num_buckets=4), str(tmp_path / "lake"))
+        events = []
+        for e in job.follow_events(str(wal), poll_interval=0.1,
+                                   max_wait_seconds=1.2):
+            events.append(e)
+            if len(events) <= 100:
+                time.sleep(0.025)  # drain of segment 0 takes ~2.5 s
+        t.join()
+        assert len(events) == 150  # segment 1 was not missed
+
     def test_tmp_and_dotfiles_ignored(self, tmp_path):
         wal = tmp_path / "wal"
         wal.mkdir()

@@ -639,6 +639,45 @@ class TestImageCodec:
         assert ic.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
         assert ic.sniff_format(b"hello") is None
 
+    def test_malformed_payloads_degrade_not_crash(self):
+        """A corrupt blob whose magic matches a codec must not abort a
+        non-strict stage — it degrades to the deterministic fake for
+        that row; strict mode surfaces the error."""
+        from plugin_debezium_ray.functions.multimodal import VideoFrameSample
+
+        bad = [
+            b"P6 garbage",                   # unparseable netpbm header
+            b"P6\n4 4\n255\n" + b"\x00" * 5,  # truncated pixel payload
+            b"BMxx",                          # BMP magic, no header
+        ]
+        col = pa.table({"image": pa.array(bad, pa.binary())})
+        dec = ImageDecode(size=(4, 4), strict=False)
+        if dec._pil is None:
+            out = dec(col)  # must not raise
+            assert out["pixels"].null_count == 0
+            with pytest.raises(Exception):
+                ImageDecode(size=(4, 4), strict=True)(col)
+
+        wav_bad = pa.table(
+            {"audio": pa.array(
+                [b"RIFF\x00\x00\x00\x00WAVEtrunc"], pa.binary()
+            )}
+        )
+        out = AudioFrameSample(n_frames=2, strict=False)(wav_bad)
+        assert len(out["frame_energy"][0].as_py()) == 2
+        with pytest.raises(Exception):
+            AudioFrameSample(n_frames=2, strict=True)(wav_bad)
+
+        vid_bad = pa.table({"video": pa.array([b"P6 nope"], pa.binary())})
+        out = VideoFrameSample(n_frames=2, size=(2, 2), strict=False)(vid_bad)
+        assert out["frame_count"][0].as_py() == -1  # fake path marker
+        with pytest.raises(Exception):
+            VideoFrameSample(n_frames=2, size=(2, 2), strict=True)(vid_bad)
+
+        # meta: magic-matching-but-unparseable → honest unparsed marker
+        meta = attach_image_meta(col)["image_meta"].to_pylist()
+        assert meta[2]["width"] == -1
+
     def test_ppm_stream_round_trip_and_sampling(self):
         from plugin_debezium_ray.functions import imagecodec as ic
 

@@ -100,6 +100,16 @@ class TestIdleBounded:
         got = list(_idle_bounded(self._slow_gen([0, 0, 0.6, 0]), 0.2, None))
         assert got == [0, 1]  # stops waiting for the 0.6 s-late batch
 
+    def test_idle_stop_returns_promptly(self):
+        """An idle stop must not stall on joining a producer that is, by
+        definition of the idle case, blocked inside batch_iter.__next__
+        (the old join(timeout=5.0) made EVERY maxWait stop pay 5 s)."""
+        t0 = time.monotonic()
+        got = list(_idle_bounded(self._slow_gen([0, 30.0]), 0.3, None))
+        elapsed = time.monotonic() - t0
+        assert got == [0]
+        assert elapsed < 2.0, f"idle stop took {elapsed:.2f}s"
+
     def test_max_wait_drains_fast_stream(self):
         got = list(_idle_bounded(self._slow_gen([0, 0, 0]), 5.0, None))
         assert got == [0, 1, 2]
