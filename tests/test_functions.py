@@ -639,6 +639,73 @@ class TestImageCodec:
         assert ic.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
         assert ic.sniff_format(b"hello") is None
 
+    def test_codec_round_trip_properties(self):
+        """Hypothesis: encode→decode is identity for arbitrary shapes,
+        channel counts, sample rates and frame counts."""
+        from hypothesis import given, settings, strategies as st
+
+        from plugin_debezium_ray.functions import imagecodec as ic
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(1, 12), w=st.integers(1, 12),
+            gray=st.booleans(), seed=st.integers(0, 2**31),
+        )
+        def ppm_rt(h, w, gray, seed):
+            rng = np.random.default_rng(seed)
+            shape = (h, w) if gray else (h, w, 3)
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            out = ic.decode_ppm(ic.encode_ppm(px))
+            assert np.array_equal(out, px.reshape(h, w, -1))
+
+        @settings(max_examples=40, deadline=None)
+        @given(h=st.integers(1, 12), w=st.integers(1, 12),
+               seed=st.integers(0, 2**31))
+        def bmp_rt(h, w, seed):
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(ic.decode_bmp(ic.encode_bmp(px)), px)
+
+        @settings(max_examples=40, deadline=None)
+        @given(n=st.integers(1, 500), ch=st.integers(1, 4),
+               rate=st.integers(1, 192_000), seed=st.integers(0, 2**31))
+        def wav_rt(n, ch, rate, seed):
+            rng = np.random.default_rng(seed)
+            s = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+            out, r = ic.decode_wav(ic.encode_wav(s, rate))
+            assert r == rate and np.array_equal(out, s)
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            frames=st.lists(
+                st.tuples(st.integers(1, 6), st.integers(1, 6),
+                          st.booleans()),
+                min_size=1, max_size=8,
+            ),
+            k=st.integers(1, 10), seed=st.integers(0, 2**31),
+        )
+        def stream_rt(frames, k, seed):
+            rng = np.random.default_rng(seed)
+            fs = [
+                rng.integers(
+                    0, 256, size=(h, w) if gray else (h, w, 3),
+                    dtype=np.uint8,
+                )
+                for h, w, gray in frames
+            ]
+            data = ic.encode_ppm_stream(fs)
+            decoded, total = ic.decode_ppm_stream(data, sample=k)
+            assert total == len(fs)
+            assert len(decoded) == min(k, len(fs))
+            # first frame always included and byte-exact
+            f0 = fs[0] if fs[0].ndim == 3 else fs[0][:, :, None]
+            assert np.array_equal(decoded[0], f0)
+
+        ppm_rt()
+        bmp_rt()
+        wav_rt()
+        stream_rt()
+
     def test_malformed_payloads_degrade_not_crash(self):
         """A corrupt blob whose magic matches a codec must not abort a
         non-strict stage — it degrades to the deterministic fake for
