@@ -501,6 +501,18 @@ class ReplayJob:
 
         return run_streaming_segments(self, segments, **kw)
 
+    def streaming_session(self, **kw) -> "object":
+        """Open a persistent actor-pool apply session (one shard pool,
+        ``apply_segment()`` per atomic commit, ``close()``/context
+        manager to tear down) — the engine handle a continuous ingester
+        holds for its lifetime.  See
+        ``pipelines/streaming_apply.StreamingSession``."""
+        from plugin_debezium_ray.pipelines.streaming_apply import (
+            StreamingSession,
+        )
+
+        return StreamingSession(self, **kw)
+
     # ------------------------------------------------------------ poll
 
     def poll(self, envelopes: "ray.data.Dataset", **kw) -> ReplayResult | None:
@@ -692,7 +704,12 @@ class ReplayJob:
         a commit in flight always completes atomically (never torn by a
         stop), so a stop can overshoot by one commit's duration.  The
         idle clock excludes commit time (idle = no new segment for
-        ``max_wait`` after the previous batch finished committing)."""
+        ``max_wait`` after the previous batch finished committing).
+
+        ``streaming=True`` keeps ONE persistent shard pool
+        (``StreamingSession``) across all commits instead of paying
+        actor startup per arrival batch — the right mode for a
+        long-running follower."""
         max_wait = (
             max_wait_seconds
             if max_wait_seconds is not None
@@ -713,24 +730,49 @@ class ReplayJob:
                 or (max_dur is not None and time.monotonic() - t0 >= max_dur)
             )
 
-        while not stopped():
-            new = self._scan_new_segments(wal_dir, seen)
-            if new:
-                seen.update(os.path.basename(p) for p in new)
-                yield self.run_from_paths(new, streaming=streaming, **run_kw)
-                # commit time is consume time, not idle time
-                last_new = time.monotonic()
-                continue
-            if (
-                max_wait is not None
-                and time.monotonic() - last_new >= max_wait
-            ):
-                return
-            deadline = time.monotonic() + poll_interval
-            while time.monotonic() < deadline:
-                if stopped():
+        session = None
+        if streaming:
+            session_kw = {
+                k: run_kw.pop(k)
+                for k in ("num_shards", "decode_concurrency",
+                          "compact_rows", "ddl_source")
+                if k in run_kw
+            }
+            session = self.streaming_session(**session_kw)
+        try:
+            while not stopped():
+                new = self._scan_new_segments(wal_dir, seen)
+                if new:
+                    seen.update(os.path.basename(p) for p in new)
+                    if session is not None:
+                        from plugin_debezium_ray.stages.apply import (
+                            APPLY_COLUMNS,
+                        )
+
+                        cols = list(APPLY_COLUMNS)
+                        if session.ddl_source is not False:
+                            cols.append("ddl")  # per-segment DDL scan
+                        yield session.apply_segment(
+                            ray.data.read_parquet(new, columns=cols)
+                        )
+                    else:
+                        yield self.run_from_paths(new, **run_kw)
+                    # commit time is consume time, not idle time
+                    last_new = time.monotonic()
+                    continue
+                if (
+                    max_wait is not None
+                    and time.monotonic() - last_new >= max_wait
+                ):
                     return
-                time.sleep(min(0.05, poll_interval))
+                deadline = time.monotonic() + poll_interval
+                while time.monotonic() < deadline:
+                    if stopped():
+                        return
+                    time.sleep(min(0.05, poll_interval))
+        finally:
+            if session is not None:
+                session.close()
 
     # ------------------------------------------------------- read back
 

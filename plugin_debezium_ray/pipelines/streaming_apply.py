@@ -533,6 +533,113 @@ def _stream_one_commit(
     )
 
 
+class StreamingSession:
+    """Persistent actor-pool apply session: ONE long-lived shard pool,
+    one atomic manifest commit per ``apply_segment`` call — the engine
+    a continuous ingester (``ReplayJob.follow_apply``) keeps open for
+    its whole lifetime instead of paying shard-actor startup per
+    arrival batch.
+
+    ``ddl_source``: ``False`` (default) carries each commit's schema
+    registry forward from the prior snapshot (DDL-free sources skip the
+    scan); ``None`` replays DDL found in EACH segment into the registry
+    before that segment applies — mid-session schema evolution, same ST3
+    contract as ``run_segments`` on the sort path.
+
+    The pool survives across commits (the multi-commit soak surface):
+    ``seen_pushes``/``events_seen`` reset at each commit boundary,
+    incremental compaction keeps running, and each ``finalize`` drains
+    the buffered rows into that segment's commit.  State after N commits
+    is identical to N separate ``run_streaming`` calls (and to the sort
+    path) — same lake bytes, same manifest-chain semantics.
+
+    Per-commit work is the SAME engine as ``run_streaming``
+    (``_stream_one_commit``) — only the pool lifecycle and the
+    per-segment checkpoint restore differ.  Use as a context manager
+    (``close()`` kills the shard actors)."""
+
+    def __init__(
+        self,
+        job,
+        *,
+        num_shards: int | None = None,
+        decode_concurrency: int | None = None,
+        compact_rows: int = 400_000,
+        ddl_source: "bool | None" = False,
+    ):
+        self.job = job
+        self.cfg: CaptureConfig = job.cfg
+        self.ckpt = job.ckpt
+        self.decode_concurrency = decode_concurrency
+        self.ddl_source = ddl_source
+        self.shards, self.shard_of = _make_shard_pool(
+            self.cfg, num_shards, compact_rows
+        )
+        self.commits = 0
+        self._closed = False
+
+    def apply_segment(self, seg) -> "object":
+        """Stream one WAL segment through the live pool and commit it
+        atomically; returns that commit's ``ReplayResult``."""
+        if self._closed:
+            raise RuntimeError("StreamingSession is closed")
+        from plugin_debezium_ray.state.schema_registry import (
+            SchemaRegistry,
+            registry_from_envelopes,
+        )
+        from plugin_debezium_ray.envelope import payload_fields_of
+
+        cfg, ckpt = self.cfg, self.ckpt
+        parent = ckpt.restore()
+        ledger = ckpt.ledger() if parent else {}
+        prior_paths = ckpt.bucket_paths() if parent else {}
+        prior_fps = ckpt.bucket_fingerprints() if parent else {}
+        version = (int(parent["version"]) + 1) if parent else 1
+
+        sch = seg.schema()
+        fields = pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        )
+        base_fields = [
+            (f.name, str(f.type)) for f in payload_fields_of(fields)
+        ]
+        if self.ddl_source is False:
+            reg = (
+                SchemaRegistry.from_snapshot(parent["schema"])
+                if (parent or {}).get("schema")
+                else SchemaRegistry(base_fields)
+            )
+        else:
+            # replay this segment's DDL sub-stream into the registry
+            # BEFORE its data applies (per-segment schema evolution)
+            reg = registry_from_envelopes(
+                seg,
+                base_fields,
+                prior_snapshot=(parent or {}).get("schema"),
+                max_lsn=cfg.max_lsn,
+            )
+        self.commits += 1
+        return _stream_one_commit(
+            self.job, self.shards, self.shard_of, seg, reg,
+            parent=parent, ledger=ledger, prior_paths=prior_paths,
+            prior_fps=prior_fps, version=version,
+            decode_concurrency=self.decode_concurrency,
+            extra_metrics={"streaming_session_commit": self.commits},
+        )
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            for s in self.shards:
+                ray.kill(s)
+
+    def __enter__(self) -> "StreamingSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def run_streaming_segments(
     job,
     segments: "list",
@@ -547,76 +654,13 @@ def run_streaming_segments(
     manifest commit after each segment (the reference's per-batch offset
     commit, `AbstractDebeziumTask.java:640-693`, on the actor-pool path —
     the sort/pipelined paths already had it via ``run_segments``).
-
-    ``ddl_source``: ``False`` (default) carries each commit's schema
-    registry forward from the prior snapshot (DDL-free sources skip the
-    scan); ``None`` replays DDL found in EACH segment into the registry
-    before that segment applies — mid-session schema evolution, same ST3
-    contract as ``run_segments`` on the sort path.
-
-    The pool survives across commits, so this is also the multi-commit
-    soak surface: ``seen_pushes``/``events_seen`` reset at each commit
-    boundary, incremental compaction keeps running, and each
-    ``finalize`` drains the buffered rows into that segment's commit.
-    Returns one ``ReplayResult`` per segment; state after N commits is
-    identical to N separate ``run_streaming`` calls (and to the sort
-    path) — same lake bytes, same manifests-chain semantics.
-
-    Per-commit work is the SAME engine as ``run_streaming``
-    (``_stream_one_commit``) — only the pool lifecycle and the
-    per-segment checkpoint restore differ here."""
-    from plugin_debezium_ray.state.schema_registry import (
-        SchemaRegistry,
-        registry_from_envelopes,
-    )
-    from plugin_debezium_ray.envelope import payload_fields_of
-
-    cfg: CaptureConfig = job.cfg
-    ckpt = job.ckpt
-    shards, shard_of = _make_shard_pool(cfg, num_shards, compact_rows)
-    results = []
-    try:
-        for seg in segments:
-            parent = ckpt.restore()
-            ledger = ckpt.ledger() if parent else {}
-            prior_paths = ckpt.bucket_paths() if parent else {}
-            prior_fps = ckpt.bucket_fingerprints() if parent else {}
-            version = (int(parent["version"]) + 1) if parent else 1
-
-            sch = seg.schema()
-            fields = pa.schema(
-                [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
-            )
-            base_fields = [
-                (f.name, str(f.type)) for f in payload_fields_of(fields)
-            ]
-            if ddl_source is False:
-                reg = (
-                    SchemaRegistry.from_snapshot(parent["schema"])
-                    if (parent or {}).get("schema")
-                    else SchemaRegistry(base_fields)
-                )
-            else:
-                # replay this segment's DDL sub-stream into the registry
-                # BEFORE its data applies (per-segment schema evolution)
-                reg = registry_from_envelopes(
-                    seg,
-                    base_fields,
-                    prior_snapshot=(parent or {}).get("schema"),
-                    max_lsn=cfg.max_lsn,
-                )
-            results.append(
-                _stream_one_commit(
-                    job, shards, shard_of, seg, reg,
-                    parent=parent, ledger=ledger, prior_paths=prior_paths,
-                    prior_fps=prior_fps, version=version,
-                    decode_concurrency=decode_concurrency,
-                    extra_metrics={
-                        "streaming_session_commit": len(results) + 1,
-                    },
-                )
-            )
-    finally:
-        for s in shards:
-            ray.kill(s)
-    return results
+    Thin wrapper over ``StreamingSession`` for a segment list known
+    upfront."""
+    with StreamingSession(
+        job,
+        num_shards=num_shards,
+        decode_concurrency=decode_concurrency,
+        compact_rows=compact_rows,
+        ddl_source=ddl_source,
+    ) as session:
+        return [session.apply_segment(seg) for seg in segments]

@@ -165,3 +165,39 @@ class TestFollowApply:
                               max_wait_seconds=0.3)
         )
         assert sum(r.events_seen for r in results2) == 0
+
+    def test_streaming_follower_one_pool_same_lake(self, tmp_path):
+        """follow_apply(streaming=True) holds ONE persistent shard pool
+        across arrival commits and produces the same lake as the
+        sort-path follower."""
+        wal = tmp_path / "wal"
+        wal.mkdir()
+        _write_segment(str(wal), 0, 250, base_lsn=1)
+
+        def later():
+            time.sleep(0.5)
+            _write_segment(str(wal), 1, 250, base_lsn=251)
+
+        t = threading.Thread(target=later)
+        t.start()
+        job = ReplayJob(CaptureConfig(num_buckets=4), str(tmp_path / "s"))
+        results = list(
+            job.follow_apply(str(wal), poll_interval=0.1,
+                             max_wait_seconds=2.0, streaming=True,
+                             num_shards=2)
+        )
+        t.join()
+        assert len(results) == 2
+        assert sum(r.events_seen for r in results) == 500
+        # the session pool persisted: second commit carries the session
+        # commit counter, not a fresh pool's 1
+        assert results[1].metrics["streaming_session_commit"] == 2
+
+        ref = ReplayJob(CaptureConfig(num_buckets=4), str(tmp_path / "ref"))
+        ref.run(binlog(250, N_KEYS, seed=SEED, base_lsn=1).union(
+            binlog(250, N_KEYS, seed=SEED, base_lsn=251)))
+        a = {(r.repo, r.path): r.content for r in
+             job.read_table().to_pandas().itertuples(index=False)}
+        b = {(r.repo, r.path): r.content for r in
+             ref.read_table().to_pandas().itertuples(index=False)}
+        assert a == b
