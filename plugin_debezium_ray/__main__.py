@@ -12,6 +12,7 @@ are machine-parseable (mirrors ``bench.py``'s contract).
 
 Commands:
   replay   WAL parquet segments → lake upsert (sort or streaming path)
+  follow   watch a WAL directory, commit each arrival batch until idle
   capture  WAL parquet segments → per-stream files (parquet/jsonl/ion)
   lineage  committed per-bucket lineage of a lake table
   vacuum   GC old commit versions / unreferenced data files
@@ -65,6 +66,33 @@ def cmd_replay(args) -> dict:
         "wall_seconds": round(res.elapsed_seconds, 3),
         "lake": args.lake,
         "stopped_reason": res.stopped_reason,
+    }
+
+
+def cmd_follow(args) -> dict:
+    """Continuous ingest: watch ``--wal-dir`` and commit every newly
+    arriving segment batch atomically until ``--max-wait`` seconds pass
+    with no new segment (or ``--max-duration`` total wall)."""
+    from plugin_debezium_ray.pipelines.replay import ReplayJob
+
+    _init_ray()
+    job = ReplayJob(_config_from_args(args), args.lake)
+    commits = []
+    for res in job.follow_apply(
+        args.wal_dir,
+        poll_interval=args.poll_interval,
+        streaming=not args.sort_path,
+        max_wait_seconds=args.max_wait,
+        max_duration_seconds=args.max_duration,
+    ):
+        commits.append(res)
+    return {
+        "command": "follow",
+        "commits": len(commits),
+        "events_seen": sum(r.events_seen for r in commits),
+        "events_applied": sum(r.events_applied for r in commits),
+        "last_version": commits[-1].version if commits else None,
+        "lake": args.lake,
     }
 
 
@@ -141,6 +169,25 @@ def main(argv: list[str] | None = None) -> int:
         help="force the sort-shuffle apply (default: streaming actor pool)",
     )
     rp.set_defaults(fn=cmd_replay)
+
+    fp = sub.add_parser(
+        "follow", help="watch a WAL dir, commit each arrival batch"
+    )
+    fp.add_argument("--wal-dir", required=True, help="directory to watch")
+    fp.add_argument("--lake", required=True, help="lake table dir")
+    fp.add_argument("--key-cols", default=None, help="comma-separated PK")
+    fp.add_argument("--num-buckets", type=int, default=None)
+    fp.add_argument("--poll-interval", type=float, default=0.5)
+    fp.add_argument("--max-wait", type=float, default=10.0,
+                    help="idle stop: seconds with no new segment")
+    fp.add_argument("--max-duration", type=float, default=None,
+                    help="total wall bound in seconds")
+    fp.add_argument(
+        "--sort-path", action="store_true",
+        help="per-batch sort-shuffle apply (default: one persistent "
+             "streaming shard pool)",
+    )
+    fp.set_defaults(fn=cmd_follow)
 
     cp = sub.add_parser("capture", help="WAL segments -> per-stream files")
     cp.add_argument("--wal", required=True)

@@ -82,6 +82,22 @@ class TestCli:
                        "--snapshot", snap)
         assert res2["events_seen"] == 0
 
+    def test_follow_drains_dir_then_idles_out(self, capsys, tmp_path,
+                                              wal_and_snap):
+        wal, _ = wal_and_snap
+        lake = str(tmp_path / "lake_follow")
+        res = run_cli(capsys, "follow", "--wal-dir", wal, "--lake", lake,
+                      "--num-buckets", "8", "--poll-interval", "0.1",
+                      "--max-wait", "0.5")
+        assert res["events_seen"] == 3000
+        assert res["commits"] >= 1
+        assert res["last_version"] == res["commits"]
+        # idempotent rerun: the ledger filters everything
+        res2 = run_cli(capsys, "follow", "--wal-dir", wal, "--lake", lake,
+                       "--num-buckets", "8", "--poll-interval", "0.1",
+                       "--max-wait", "0.5")
+        assert res2["events_seen"] == 0
+
     def test_capture_jsonl(self, capsys, tmp_path, wal_and_snap):
         wal, _ = wal_and_snap
         out_dir = str(tmp_path / "cap")
