@@ -351,3 +351,45 @@ class TestShardLoss:
         assert set(_state(job)) == set(
             oracle_apply(N_EVENTS, N_KEYS, seed=SEED)
         )
+
+
+class TestSessionShardLoss:
+    def test_mid_session_shard_death_fails_commit_not_lake(self, tmp_path):
+        """Chaos on the persistent session: a shard dying BETWEEN commits
+        fails the next apply_segment fast, leaves the already-committed
+        manifest chain untouched (atomicity), and a fresh session over
+        the failed segment converges to parity."""
+        lake = str(tmp_path / "lake")
+        job = ReplayJob(CaptureConfig(num_buckets=8), lake)
+        seg1 = binlog(1500, 150, seed=SEED, base_lsn=1)
+        seg2 = binlog(1500, 150, seed=SEED, base_lsn=1501)
+
+        session = job.streaming_session(num_shards=2)
+        try:
+            r1 = session.apply_segment(seg1)
+            assert r1.version == 1
+            v1_buckets = _bucket_hashes(job)
+            ray.kill(session.shards[0])
+            with pytest.raises(Exception):
+                session.apply_segment(seg2)
+        finally:
+            session.close()
+        # the failed commit tore nothing: manifest still v1, files intact
+        assert int(job.ckpt.restore()["version"]) == 1
+        assert _bucket_hashes(job) == v1_buckets
+
+        # recovery: a fresh session replays the failed segment
+        with job.streaming_session(num_shards=2) as s2:
+            r2 = s2.apply_segment(seg2)
+        assert r2.version == 2 and r2.events_seen == 1500
+        ref = ReplayJob(CaptureConfig(num_buckets=8), str(tmp_path / "ref"))
+        ref.run(binlog(1500, 150, seed=SEED, base_lsn=1).union(
+            binlog(1500, 150, seed=SEED, base_lsn=1501)))
+        assert _state(job) == _state(ref)
+
+    def test_closed_session_rejects_apply(self, tmp_path):
+        job = ReplayJob(CaptureConfig(num_buckets=4), str(tmp_path / "l"))
+        s = job.streaming_session()
+        s.close()
+        with pytest.raises(RuntimeError):
+            s.apply_segment(binlog(10, 5, seed=SEED))
