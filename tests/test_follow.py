@@ -166,6 +166,47 @@ class TestFollowApply:
         )
         assert sum(r.events_seen for r in results2) == 0
 
+    def test_streaming_follower_mid_stream_ddl(self, tmp_path):
+        """A DDL-bearing segment arriving mid-watch evolves the lake
+        schema through the persistent session (ddl_source=None — the
+        per-segment DDL scan reads the ddl column the follower includes
+        in its pruned read)."""
+        import pandas as pd
+
+        from plugin_debezium_ray.sources.binlog import ddl_events_table
+
+        wal = tmp_path / "wal"
+        wal.mkdir()
+        _write_segment(str(wal), 0, 200, base_lsn=1)
+
+        def later():
+            time.sleep(0.5)
+            ddl = ddl_events_table(
+                [(10_001, {"action": "add_column", "name": "license",
+                           "type": "string", "default": "unknown"})]
+            ).to_pandas()
+            data = binlog(200, N_KEYS, seed=SEED,
+                          base_lsn=10_001).to_pandas()
+            df = pd.concat([ddl, data], ignore_index=True)
+            tmp = str(wal / ".seg-0001.parquet.tmp")
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           tmp)
+            os.rename(tmp, str(wal / "seg-0001.parquet"))
+
+        t = threading.Thread(target=later)
+        t.start()
+        job = ReplayJob(CaptureConfig(num_buckets=4), str(tmp_path / "lake"))
+        results = list(
+            job.follow_apply(str(wal), poll_interval=0.1,
+                             max_wait_seconds=2.0, streaming=True,
+                             ddl_source=None, num_shards=2)
+        )
+        t.join()
+        assert sum(r.events_seen for r in results) == 400
+        tab = job.read_table().to_pandas()
+        assert "license" in tab.columns
+        assert set(tab["license"]) == {"unknown"}
+
     def test_streaming_follower_one_pool_same_lake(self, tmp_path):
         """follow_apply(streaming=True) holds ONE persistent shard pool
         across arrival commits and produces the same lake as the
