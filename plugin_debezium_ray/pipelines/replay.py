@@ -601,34 +601,22 @@ class ReplayJob:
             and not os.path.basename(p).startswith(".")
         ]
 
-    def follow_events(
+    def _watch_segments(
         self,
         wal_dir: str,
         *,
-        poll_interval: float = 0.5,
-        batch_size: int = 4096,
-        max_wait_seconds: float | None = None,
-        max_duration_seconds: float | None = None,
-        stop_event=None,
+        poll_interval: float,
+        max_wait_seconds: float | None,
+        max_duration_seconds: float | None,
+        stop_event,
     ):
-        """Unbounded realtime surface: watch ``wal_dir`` for newly
-        arriving WAL segment files and publish every record as it
-        lands — the reference's realtime trigger loop (the engine runs
-        until stopped, each record becomes an execution,
-        `AbstractDebeziumRealtimeTrigger.java:141-213`), driven by
-        segment arrival instead of an embedded engine thread.
-
-        Stops on ``stop_event`` (promptly, record granularity), on
-        ``max_duration_seconds`` total wall (enforced INSIDE a drain —
-        the remaining budget is threaded into each segment's event
-        stream), or after ``max_wait_seconds`` with no NEW segment
-        (idle ``maxWait``, `AbstractDebeziumTask.java:626-630`; time
-        spent draining a segment is consume time, never idle time); all
-        three default to the config values.  Segments must arrive in ascending LSN order
-        (standard WAL naming sorts that way); arrival is detected by
-        filename, so producers publish via write-then-rename.
-        Publish-only like ``iter_events`` — pair with ``follow_apply``
-        when the lake should advance too."""
+        """Shared watch loop of both follow surfaces: yields each batch
+        of newly published segment paths as ``(paths, wall_left)``.
+        Returns on the idle stop (no NEW segment for ``max_wait``), the
+        total wall bound, or the external stop handle (all defaulting to
+        the config values).  The idle clock restarts when the consumer
+        RESUMES the generator — time it spent draining/committing a
+        yielded batch is consume time, never idle time."""
         max_wait = (
             max_wait_seconds
             if max_wait_seconds is not None
@@ -653,24 +641,13 @@ class ReplayJob:
             new = self._scan_new_segments(wal_dir, seen)
             if new:
                 seen.update(os.path.basename(p) for p in new)
-                ds = ray.data.read_parquet(new)
-                # the segment itself is bounded: no idle bound inside,
-                # but the caller's stop handle still halts per record and
-                # the REMAINING wall budget bounds the drain itself
                 wall_left = (
                     None
                     if max_dur is None
                     else max(0.0, max_dur - (time.monotonic() - t0))
                 )
-                yield from self.iter_events(
-                    ds,
-                    batch_size=batch_size,
-                    stop_event=stop_event,
-                    max_duration_seconds=wall_left,
-                )
-                # idle means "no NEW segment arrives for max_wait" — time
-                # spent draining a segment is consume time, not idle time
-                last_new = time.monotonic()
+                yield new, wall_left
+                last_new = time.monotonic()  # consumer just finished
                 continue
             if (
                 max_wait is not None
@@ -682,6 +659,51 @@ class ReplayJob:
                 if stopped():
                     return
                 time.sleep(min(0.05, poll_interval))
+
+    def follow_events(
+        self,
+        wal_dir: str,
+        *,
+        poll_interval: float = 0.5,
+        batch_size: int = 4096,
+        max_wait_seconds: float | None = None,
+        max_duration_seconds: float | None = None,
+        stop_event=None,
+    ):
+        """Unbounded realtime surface: watch ``wal_dir`` for newly
+        arriving WAL segment files and publish every record as it
+        lands — the reference's realtime trigger loop (the engine runs
+        until stopped, each record becomes an execution,
+        `AbstractDebeziumRealtimeTrigger.java:141-213`), driven by
+        segment arrival instead of an embedded engine thread.
+
+        Stops on ``stop_event`` (promptly, record granularity), on
+        ``max_duration_seconds`` total wall (enforced INSIDE a drain —
+        the remaining budget is threaded into each segment's event
+        stream), or after ``max_wait_seconds`` with no NEW segment
+        (idle ``maxWait``, `AbstractDebeziumTask.java:626-630`; time
+        spent draining a segment is consume time, never idle time); all
+        three default to the config values.  Segments must arrive in
+        ascending LSN order (standard WAL naming sorts that way);
+        arrival is detected by filename, so producers publish via
+        write-then-rename.  Publish-only like ``iter_events`` — pair
+        with ``follow_apply`` when the lake should advance too."""
+        for new, wall_left in self._watch_segments(
+            wal_dir,
+            poll_interval=poll_interval,
+            max_wait_seconds=max_wait_seconds,
+            max_duration_seconds=max_duration_seconds,
+            stop_event=stop_event,
+        ):
+            # the segment itself is bounded: no idle bound inside, but
+            # the caller's stop handle still halts per record and the
+            # REMAINING wall budget bounds the drain itself
+            yield from self.iter_events(
+                ray.data.read_parquet(new),
+                batch_size=batch_size,
+                stop_event=stop_event,
+                max_duration_seconds=wall_left,
+            )
 
     def follow_apply(
         self,
@@ -710,26 +732,6 @@ class ReplayJob:
         (``StreamingSession``) across all commits instead of paying
         actor startup per arrival batch — the right mode for a
         long-running follower."""
-        max_wait = (
-            max_wait_seconds
-            if max_wait_seconds is not None
-            else self.cfg.max_wait_seconds
-        )
-        max_dur = (
-            max_duration_seconds
-            if max_duration_seconds is not None
-            else self.cfg.max_duration_seconds
-        )
-        seen: set = set()
-        t0 = time.monotonic()
-        last_new = t0
-
-        def stopped() -> bool:
-            return (
-                (stop_event is not None and stop_event.is_set())
-                or (max_dur is not None and time.monotonic() - t0 >= max_dur)
-            )
-
         session = None
         if streaming:
             session_kw = {
@@ -740,36 +742,26 @@ class ReplayJob:
             }
             session = self.streaming_session(**session_kw)
         try:
-            while not stopped():
-                new = self._scan_new_segments(wal_dir, seen)
-                if new:
-                    seen.update(os.path.basename(p) for p in new)
-                    if session is not None:
-                        from plugin_debezium_ray.stages.apply import (
-                            APPLY_COLUMNS,
-                        )
+            for new, _wall_left in self._watch_segments(
+                wal_dir,
+                poll_interval=poll_interval,
+                max_wait_seconds=max_wait_seconds,
+                max_duration_seconds=max_duration_seconds,
+                stop_event=stop_event,
+            ):
+                if session is not None:
+                    from plugin_debezium_ray.stages.apply import (
+                        APPLY_COLUMNS,
+                    )
 
-                        cols = list(APPLY_COLUMNS)
-                        if session.ddl_source is not False:
-                            cols.append("ddl")  # per-segment DDL scan
-                        yield session.apply_segment(
-                            ray.data.read_parquet(new, columns=cols)
-                        )
-                    else:
-                        yield self.run_from_paths(new, **run_kw)
-                    # commit time is consume time, not idle time
-                    last_new = time.monotonic()
-                    continue
-                if (
-                    max_wait is not None
-                    and time.monotonic() - last_new >= max_wait
-                ):
-                    return
-                deadline = time.monotonic() + poll_interval
-                while time.monotonic() < deadline:
-                    if stopped():
-                        return
-                    time.sleep(min(0.05, poll_interval))
+                    cols = list(APPLY_COLUMNS)
+                    if session.ddl_source is not False:
+                        cols.append("ddl")  # per-segment DDL scan
+                    yield session.apply_segment(
+                        ray.data.read_parquet(new, columns=cols)
+                    )
+                else:
+                    yield self.run_from_paths(new, **run_kw)
         finally:
             if session is not None:
                 session.close()
