@@ -731,7 +731,12 @@ class ReplayJob:
         ``streaming=True`` keeps ONE persistent shard pool
         (``StreamingSession``) across all commits instead of paying
         actor startup per arrival batch — the right mode for a
-        long-running follower."""
+        long-running follower.
+
+        Snapshot bootstrap: a follower tails the log only.  To start
+        from a consistent snapshot, run ``run``/``run_from_paths`` with
+        ``snapshot`` once (commit v1), then follow — the ledger carries
+        forward."""
         session = None
         if streaming:
             session_kw = {
