@@ -87,7 +87,9 @@ def brute_force_topk(
         batch_format="pyarrow",
         concurrency=(1, 4),  # autoscaling pool: never blocks on small CPU budgets
     )
-    rows = cand.take_all()  # ≤ k × n_queries × n_blocks, still small
+    from plugin_debezium_ray.smallfetch import fetch_small_rows
+
+    rows = fetch_small_rows(cand)  # ≤ k × n_queries × n_blocks, still small
     by_q: dict[int, list] = {}
     for r in rows:
         # heap on (score, -id): max score wins, ties → smaller id
@@ -288,12 +290,16 @@ def kmeans_fit(
 
     for _ in range(iters):
         cref = ray.put(centroids)
-        parts = ds.map_batches(
-            Partial,
-            fn_constructor_args=(cref,),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        ).take_all()
+        from plugin_debezium_ray.smallfetch import fetch_small_rows
+
+        parts = fetch_small_rows(
+            ds.map_batches(
+                Partial,
+                fn_constructor_args=(cref,),
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+        )
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids), dtype=np.int64)
         for r in parts:

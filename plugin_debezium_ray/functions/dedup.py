@@ -328,8 +328,10 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", **kw) -> list[tuple]:
     """Small-scale convenience: the candidate pairs as a sorted list
     (tests / notebooks — NOT the 100-TB path; use ``minhash_lsh_pairs_ds``
     and keep the pair set distributed)."""
+    from plugin_debezium_ray.smallfetch import fetch_small_rows
+
     return sorted(
-        (r["a"], r["b"]) for r in minhash_lsh_pairs_ds(ds, **kw).take_all()
+        (r["a"], r["b"]) for r in fetch_small_rows(minhash_lsh_pairs_ds(ds, **kw))
     )
 
 
@@ -632,7 +634,10 @@ def minhash_dedup(
         return ds
 
     if n_pairs <= small_path_max_pairs:
-        plist = sorted({(r["a"], r["b"]) for r in pairs.take_all()})  # ≤ bound
+        from plugin_debezium_ray.smallfetch import fetch_small_table
+
+        pt = fetch_small_table(pairs)  # ≤ bound (one parallel block fetch)
+        plist = sorted(set(zip(pt["a"].to_pylist(), pt["b"].to_pylist())))
         cand_ids = {x for p in plist for x in p}
         id_arr = pa.array(list(cand_ids))
         texts_ds = ds.map_batches(
@@ -640,7 +645,8 @@ def minhash_dedup(
             .select([id_col, text_col]),
             batch_format="pyarrow",
         )
-        texts = {r[id_col]: r[text_col] for r in texts_ds.take_all()}  # ≤ 2·bound
+        tt = fetch_small_table(texts_ds)  # ≤ 2·bound
+        texts = dict(zip(tt[id_col].to_pylist(), tt[text_col].to_pylist()))
         verified = [
             (a, b) for a, b in plist
             if jaccard(texts[a], texts[b], k) >= threshold
@@ -859,7 +865,11 @@ def simhash_pairs_ds(
 def simhash_pairs(ds: "ray.data.Dataset", **kw) -> list[tuple]:
     """Small-scale convenience wrapper (tests / notebooks); the scale
     path is ``simhash_pairs_ds``."""
-    return sorted((r["a"], r["b"]) for r in simhash_pairs_ds(ds, **kw).take_all())
+    from plugin_debezium_ray.smallfetch import fetch_small_rows
+
+    return sorted(
+        (r["a"], r["b"]) for r in fetch_small_rows(simhash_pairs_ds(ds, **kw))
+    )
 
 
 # ------------------------------------------------- ngram-jaccard dedup
@@ -1156,6 +1166,9 @@ def embedding_dedup_pairs_ds(
 def embedding_dedup_pairs(ds: "ray.data.Dataset", **kw) -> list[tuple]:
     """Small-scale convenience wrapper (tests / notebooks); the scale
     path is ``embedding_dedup_pairs_ds``."""
+    from plugin_debezium_ray.smallfetch import fetch_small_rows
+
     return sorted(
-        (r["a"], r["b"]) for r in embedding_dedup_pairs_ds(ds, **kw).take_all()
+        (r["a"], r["b"])
+        for r in fetch_small_rows(embedding_dedup_pairs_ds(ds, **kw))
     )

@@ -96,9 +96,11 @@ def _capture_rows(
     import pyarrow.compute as pc
 
     decoded = decoded.materialize()
+    from plugin_debezium_ray.smallfetch import fetch_small_rows
+
     counts = {
         r[STREAM_COL]: r["count()"]
-        for r in decoded.groupby(STREAM_COL).count().take_all()
+        for r in fetch_small_rows(decoded.groupby(STREAM_COL).count())
         if r[STREAM_COL] is not None
     }
     uris: dict[str, str] = {}

@@ -312,10 +312,11 @@ def replay_multi_table_single_pass(
         stats = merges[stream](group.drop_columns([STREAM_COL]))
         return stats.append_column("stream", pa.array([stream]))
 
-    stats_rows = (
+    from plugin_debezium_ray.smallfetch import fetch_small_rows
+
+    stats_rows = fetch_small_rows(
         applied.groupby([STREAM_COL, BUCKET_COL])
         .map_groups(merge_group, batch_format="pyarrow")
-        .take_all()
     )
 
     results: dict[str, ReplayResult] = {}

@@ -291,7 +291,9 @@ class ReplayJob:
         stats = applied.groupby(BUCKET_COL).map_groups(
             merge_bucket, batch_format="pyarrow", **merge_kw
         )
-        stats_rows = stats.take_all()  # ≤ num_buckets tiny rows
+        from plugin_debezium_ray.smallfetch import fetch_small_rows
+
+        stats_rows = fetch_small_rows(stats)  # ≤ num_buckets tiny rows
 
         manifest = build_manifest(
             version=version,

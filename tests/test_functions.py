@@ -245,16 +245,25 @@ class TestDedupDistributed:
 
     def test_minhash_dedup_no_driver_materialization(self, monkeypatch):
         """Full minhash_dedup forced onto the scale path
-        (small_path_max_pairs=0) with Dataset.take_all poisoned: the
-        pipeline must never collect pairs/texts/labels to the driver."""
+        (small_path_max_pairs=0) with BOTH driver-fetch vectors poisoned
+        (Dataset.take_all and smallfetch.fetch_small_table): the pipeline
+        must never collect pairs/texts/labels to the driver."""
+        from plugin_debezium_ray import smallfetch
+
         def poisoned(self, *a, **k):
             raise AssertionError(
                 "take_all called inside the distributed dedup path"
             )
 
+        def poisoned_fetch(*a, **k):
+            raise AssertionError(
+                "fetch_small_table called inside the distributed dedup path"
+            )
+
         df = self._corpus()
         ds = ray.data.from_pandas(df)
         monkeypatch.setattr(ray.data.Dataset, "take_all", poisoned)
+        monkeypatch.setattr(smallfetch, "fetch_small_table", poisoned_fetch)
         kept = dedup.minhash_dedup(
             ds, threshold=0.5, num_perm=64, bands=16, k=3,
             small_path_max_pairs=0,
@@ -266,19 +275,29 @@ class TestDedupDistributed:
         assert ids == [i * 3 for i in range(12)]
 
     def test_minhash_dedup_small_path_is_bounded(self, monkeypatch):
-        """The default (bounded-broadcast) path may take_all ONLY sets
-        provably below the bound — never corpus-sized results."""
+        """The default (bounded-broadcast) path may fetch ONLY sets
+        provably below the bound — never corpus-sized results (both
+        fetch vectors guarded)."""
+        from plugin_debezium_ray import smallfetch
+
         cap = 2_000
         orig = ray.data.Dataset.take_all
+        orig_fetch = smallfetch.fetch_small_table
 
         def bounded(self, *a, **k):
             out = orig(self, *a, **k)
             assert len(out) <= cap, f"driver collected {len(out)} rows"
             return out
 
+        def bounded_fetch(ds_, *a, **k):
+            out = orig_fetch(ds_, *a, **k)
+            assert out.num_rows <= cap, f"driver fetched {out.num_rows} rows"
+            return out
+
         df = self._corpus()
         ds = ray.data.from_pandas(df)
         monkeypatch.setattr(ray.data.Dataset, "take_all", bounded)
+        monkeypatch.setattr(smallfetch, "fetch_small_table", bounded_fetch)
         kept = dedup.minhash_dedup(ds, threshold=0.5, num_perm=64, bands=16, k=3)
         ids = sorted(r["doc_id"] for r in kept.take_all())
         monkeypatch.undo()
