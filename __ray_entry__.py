@@ -535,6 +535,30 @@ def q_dedup_embedding(sf_dir: str):
     return pd.DataFrame(pairs, columns=["a", "b"])
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composite training-data prep: quality gate → normalized exact
+    dedup → per-language corpus stats, one lazy pipeline."""
+    from plugin_debezium_ray.pipelines.corpus import corpus_prep
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return corpus_prep(ds, min_tokens=5, max_punct_ratio=0.2)
+
+
+def q_dedup_cosine_exact(sf_dir: str):
+    from plugin_debezium_ray.functions.dedup import cosine_pairs_exact
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    # block_rows=256 forces the multi-block (blocked all-pairs) path even
+    # at sf0.01's 500 vectors, so the driver exercises the real kernel
+    return cosine_pairs_exact(ds, threshold=0.4, block_rows=256)
+
+
 def _first_queries(sf_dir: str, n: int = 3) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -737,6 +761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_cosine_exact": q_dedup_cosine_exact,
+        "corpus_prep": q_corpus_prep,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
@@ -827,6 +853,33 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
                          JOIN sizes sb ON sb.doc_id = i.doc_b
             WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
+        """,
+        "dedup_cosine_exact": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(
+                CAST(x.embedding AS DOUBLE[]),
+                CAST(y.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "corpus_prep": """
+            WITH m AS (
+              SELECT doc_id, lang, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio
+              FROM documents WHERE text IS NOT NULL
+            ), gated AS (
+              SELECT * FROM m WHERE n_tokens >= 5 AND punct_ratio <= 0.2
+            ), kept AS (
+              SELECT min(doc_id) AS doc_id FROM gated
+              GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+            )
+            SELECT g.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens
+            FROM gated g JOIN kept k ON g.doc_id = k.doc_id
+            GROUP BY g.lang
         """,
         "text_token_count": """
             SELECT doc_id,

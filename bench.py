@@ -265,6 +265,7 @@ def _suite(sf_dir: str) -> dict[str, float]:
         "cdc_lww_apply",
         "dedup_exact",
         "dedup_minhash",
+        "corpus_prep",
         "text_quality",
         "text_token_count",
         "ann_brute_force",

@@ -225,6 +225,52 @@ class TestDedup:
         pairs = dedup.embedding_dedup_pairs(ds, threshold=0.99, num_planes=4)
         assert pairs == [(0, 1)]
 
+    def test_cosine_pairs_exact_vs_brute_force(self):
+        """Blocked all-pairs kernel == O(n²) numpy reference, with
+        block_rows/strip_rows small enough that multi-block cross pairs,
+        within-block triangles AND strip boundaries are all exercised."""
+        rng = np.random.default_rng(7)
+        n, dim = 230, 24
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        # plant near-dups across and within what will become blocks
+        for a, b in [(3, 190), (10, 11), (64, 65), (100, 229)]:
+            vecs[b] = vecs[a] + rng.standard_normal(dim).astype(np.float32) * 0.01
+        ids = rng.permutation(n) * 7 + 1  # non-contiguous, unsorted ids
+        normed = vecs.astype(np.float64)
+        normed /= np.linalg.norm(normed, axis=1, keepdims=True)
+        sims = normed @ normed.T
+        thr = 0.35
+        ii, jj = np.where(np.triu(sims >= thr, k=1))
+        expect = sorted(
+            (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+            for i, j in zip(ii, jj)
+        )
+        assert len(expect) >= 4  # the planted pairs survive
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+            )
+        )
+        out = dedup.cosine_pairs_exact(
+            ds, threshold=thr, block_rows=48, strip_rows=16, concurrency=2
+        ).to_pandas()
+        got = sorted(zip(out["a"].astype(int), out["b"].astype(int)))
+        assert got == expect
+
+    def test_cosine_pairs_exact_single_block(self):
+        """Degenerate one-block corpus: only the within-block triangle."""
+        rng = np.random.default_rng(1)
+        vecs = rng.standard_normal((5, 8)).astype(np.float32)
+        vecs[4] = vecs[2] * 3.0  # same direction, different magnitude
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": np.arange(5), "embedding": [v.tolist() for v in vecs]}
+            )
+        )
+        out = dedup.cosine_pairs_exact(ds, threshold=0.999, block_rows=64)
+        rows = sorted((r["a"], r["b"]) for r in out.take_all())
+        assert rows == [(2, 4)]
+
 
 class TestDedupDistributed:
     """The 100-TB path: no driver-side materialization anywhere in the
@@ -812,3 +858,51 @@ class TestImageCodec:
             VideoFrameSample(strict=True)(
                 pa.table({"video": pa.array([b"\x00\x00ftypmp4"], pa.binary())})
             )
+
+
+class TestCorpusPrep:
+    """Composite prep pipeline: gate semantics, dedup interaction and
+    per-language stats — every edge the SQL oracle also encodes."""
+
+    def test_gate_dedup_stats(self):
+        from plugin_debezium_ray.pipelines.corpus import corpus_prep
+
+        rows = [
+            # kept: 6 tokens, no punct
+            (1, "alpha beta gamma delta epsilon zeta", "en"),
+            # duplicate of 1 after normalization (case + whitespace) → dropped
+            (2, "  ALPHA beta   GAMMA delta epsilon zeta ", "de"),
+            # dropped: only 4 tokens
+            (3, "too few tokens here", "en"),
+            # dropped: punct-heavy (ratio > 0.2)
+            (4, "a.b.c.d.e f.g.h.i.j k,l,m,n,o", "en"),
+            # kept: second en doc
+            (5, "one two three four five six seven", "en"),
+            # dropped: null text
+            (6, None, "fr"),
+            # kept: fr doc, exactly at min_tokens
+            (7, "un deux trois quatre cinq", "fr"),
+        ]
+        ds = ray.data.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+        )
+        out = corpus_prep(ds, min_tokens=5, max_punct_ratio=0.2)
+        got = {
+            r["lang"]: (r["n_docs"], r["total_tokens"])
+            for r in out.take_all()
+        }
+        # doc 2's normalized content equals doc 1's → min-id keeper is 1
+        # (lang=en), so de contributes nothing
+        assert got == {"en": (2, 13), "fr": (1, 5)}
+
+    def test_boundary_punct_ratio_kept(self):
+        from plugin_debezium_ray.pipelines.corpus import corpus_prep
+
+        # 5 tokens, 25 chars, 5 punct → ratio exactly 0.2 (<=) → kept
+        txt = "ab. cd. ef. gh. ij. kkkkk"
+        assert len(txt) == 25
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [1], "text": [txt], "lang": ["en"]})
+        )
+        out = corpus_prep(ds, min_tokens=5, max_punct_ratio=0.2).take_all()
+        assert [(r["lang"], r["n_docs"]) for r in out] == [("en", 1)]
