@@ -535,6 +535,48 @@ def q_dedup_embedding(sf_dir: str):
     return pd.DataFrame(pairs, columns=["a", "b"])
 
 
+def q_split_hash(sf_dir: str):
+    """Deterministic train/val/test split by DuckDB-mirrorable id hash;
+    per-split doc count + id checksum."""
+    from ray.data.aggregate import Count, Sum
+
+    from plugin_debezium_ray.functions.selection import hash_split
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = hash_split(
+        ds, {"train": 0.8, "val": 0.1, "test": 0.1}, buckets=10_000
+    )
+    return out.groupby("split").aggregate(
+        Count(alias_name="n_docs"), Sum("doc_id", alias_name="id_sum")
+    )
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: every 97th doc is the 'benchmark';
+    docs sharing a 5-gram with any of them are dropped."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.functions.selection import decontaminate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def bench_mask(t: pa.Table) -> pa.Table:
+        rem = pc.subtract(
+            t["doc_id"],
+            pc.multiply(pc.divide(t["doc_id"], 97), 97),
+        )
+        return t.filter(pc.equal(rem, pa.scalar(0, pa.int64())))
+
+    bench = docs.map_batches(bench_mask, batch_format="pyarrow")
+    kept = decontaminate(docs, bench, k=5, min_overlaps=1)
+    return kept.select_columns(["doc_id"])
+
+
 def q_corpus_prep(sf_dir: str):
     """Composite training-data prep: quality gate → normalized exact
     dedup → per-language corpus stats, one lazy pipeline."""
@@ -763,6 +805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_cosine_exact": q_dedup_cosine_exact,
         "corpus_prep": q_corpus_prep,
+        "split_hash": q_split_hash,
+        "decontaminate": q_decontaminate,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
@@ -860,6 +904,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                 CAST(x.embedding AS DOUBLE[]),
                 CAST(y.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "split_hash": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN hash(doc_id) % 10000 < 8000 THEN 'train'
+                          WHEN hash(doc_id) % 10000 < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM s GROUP BY split
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''
+            ), docg AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                     w[i+3] || ' ' || w[i+4] AS g
+              FROM w, LATERAL unnest(range(1, len(w) - 3)) AS t(i)
+              WHERE len(w) >= 5
+            ), bench AS (
+              SELECT DISTINCT g FROM docg WHERE doc_id % 97 = 0
+            ), bad AS (
+              SELECT DISTINCT d.doc_id FROM docg d
+              JOIN bench b ON d.g = b.g
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "corpus_prep": """
             WITH m AS (

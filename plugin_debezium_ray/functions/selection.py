@@ -1,0 +1,234 @@
+"""Corpus selection for training-data pipelines: deterministic splits
+and benchmark decontamination.
+
+Both ops are embarrassingly parallel ``map_batches`` stages — no
+shuffle at all:
+
+* ``hash_split`` assigns every row to a named split from a vectorized
+  64-bit hash of its id — deterministic, order-independent, and
+  mirrored EXACTLY by SQL ``hash(col) % buckets`` (the hash is DuckDB's
+  own integer finalizer, re-implemented in numpy).
+* ``decontaminate`` drops documents sharing word-k-grams with a
+  benchmark set — the standard eval-contamination guard.  The benchmark
+  side is SMALL by contract (an eval set, not a corpus): its gram
+  hashes are collected once, ``ray.put`` once, and every filter task
+  reads the broadcast — the canonical small-side-broadcast pattern, so
+  the corpus streams through untouched by any shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_WORD_RE = None  # set lazily from dedup to share one compiled regex
+
+
+def _word_re():
+    global _WORD_RE
+    if _WORD_RE is None:
+        from plugin_debezium_ray.functions.dedup import _WORD_RE as r
+
+        _WORD_RE = r
+    return _WORD_RE
+
+
+# -------------------------------------------------------------- splits
+
+_DUCK_MULT = np.uint64(0xD6E8FEB86659FD93)
+
+
+def duckdb_hash64(x: np.ndarray) -> np.ndarray:
+    """DuckDB's 64-bit integer hash (``murmurhash64`` finalizer from
+    duckdb ``common/types/hash.hpp``), vectorized over a numpy array —
+    so a split predicate written here is mirrored bit-for-bit by SQL
+    ``hash(col)`` (verified against duckdb 1.0).  Avalanching finalizer:
+    consecutive ids land in uncorrelated buckets."""
+    x = np.ascontiguousarray(x).astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(32)
+        x *= _DUCK_MULT
+        x ^= x >> np.uint64(32)
+        x *= _DUCK_MULT
+        x ^= x >> np.uint64(32)
+    return x
+
+
+def hash_split(
+    ds: "ray.data.Dataset",
+    splits: "dict[str, float]",
+    *,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    split_col: str = "split",
+) -> "ray.data.Dataset":
+    """Deterministic, reshuffle-proof train/val/test assignment: row →
+    ``hash(id) % buckets`` → the split whose cumulative fraction range
+    contains the bucket.  Fractions must sum to 1 (± float eps).
+
+    Properties a 100-TB pipeline needs: assignment depends only on the
+    id (stable across reruns, repartitions and cluster sizes), the op is
+    a pure per-batch map (no shuffle, no state), and the exact same
+    assignment is expressible in SQL as
+    ``CASE WHEN hash(id) % buckets < f1*buckets THEN ... END``."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    names = list(splits)
+    # integer bucket thresholds, identical to what the SQL CASE uses
+    edges = np.cumsum([int(round(splits[n] * buckets)) for n in names])
+    edges[-1] = buckets  # rounding never orphans the last bucket
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (duckdb_hash64(ids) % np.uint64(buckets)).astype(np.int64)
+        idx = np.searchsorted(edges, b, side="right")
+        lab = np.asarray(names, dtype=object)[idx]
+        return t.append_column(split_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ decontamination
+
+_DECON_HASH_KEY = "decontaminate-l1"  # 16 bytes — second independent lane
+
+
+def _doc_gram_lanes(
+    texts: "list[str | None]", k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch DISTINCT word-k-grams, two independent 64-bit hash
+    lanes: returns (doc_index_repeat, h0, h1).  Tokenization mirrors the
+    SQL oracle (lowercase, split on whitespace runs); docs with < k
+    words contribute nothing."""
+    grams: list[str] = []
+    counts: list[int] = []
+    rows: list[int] = []
+    wre = _word_re()
+    for i, tx in enumerate(texts):
+        if tx is None:
+            continue
+        toks = wre.findall(tx.lower())
+        if len(toks) < k:
+            continue
+        gs = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        grams.extend(gs)
+        counts.append(len(gs))
+        rows.append(i)
+    if not rows:
+        e = np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.int64), e, e
+    obj = np.array(grams, dtype=object)
+    h0 = pd.util.hash_array(obj)
+    h1 = pd.util.hash_array(obj, hash_key=_DECON_HASH_KEY)
+    doc_idx = np.repeat(np.asarray(rows, dtype=np.int64), counts)
+    return doc_idx, h0, h1
+
+
+def benchmark_gram_hashes(
+    bench_ds: "ray.data.Dataset", *, k: int = 5, text_col: str = "text"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct k-gram hash pairs of a (small) benchmark set, sorted by
+    lane 0 — the broadcast side of ``decontaminate``.  Driver
+    materialization by design: an eval benchmark is bounded (thousands
+    of rows), the corpus is not."""
+    from plugin_debezium_ray.smallfetch import fetch_small_table
+
+    def grams(t: pa.Table) -> pa.Table:
+        _, h0, h1 = _doc_gram_lanes(t[text_col].to_pylist(), k)
+        return pa.table({"h0": pa.array(h0), "h1": pa.array(h1)})
+
+    t = fetch_small_table(
+        bench_ds.map_batches(grams, batch_format="pyarrow")
+    )
+    if t.num_rows == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    pairs = np.unique(
+        np.stack(
+            [t["h0"].to_numpy(zero_copy_only=False),
+             t["h1"].to_numpy(zero_copy_only=False)],
+            axis=1,
+        ),
+        axis=0,
+    )
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    pairs = pairs[order]
+    return np.ascontiguousarray(pairs[:, 0]), np.ascontiguousarray(pairs[:, 1])
+
+
+class _Decontaminator:
+    """Actor-pool filter: the broadcast benchmark gram table is fetched
+    ONCE per actor in ``__init__``; each batch is a vectorized
+    two-lane membership probe (searchsorted on lane 0, confirm lane 1).
+
+    A lane-0 collision between two DISTINCT benchmark grams would hide
+    the second entry from the probe — a 2⁻⁶⁴-scale event; both lanes
+    must match for a doc gram to count as contaminated, so false
+    positives need a simultaneous 128-bit collision."""
+
+    def __init__(self, bench_ref, k: int, min_overlaps: int,
+                 text_col: str, keep_contaminated: bool):
+        self.b0, self.b1 = ray.get(bench_ref)
+        self.k = k
+        self.min_overlaps = min_overlaps
+        self.text_col = text_col
+        self.keep_contaminated = keep_contaminated
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        overlaps = np.zeros(n, dtype=np.int64)
+        if len(self.b0):
+            doc_idx, h0, h1 = _doc_gram_lanes(
+                t[self.text_col].to_pylist(), self.k
+            )
+            if len(h0):
+                pos = np.searchsorted(self.b0, h0)
+                pos_ok = pos < len(self.b0)
+                safe = np.minimum(pos, len(self.b0) - 1)
+                hit = pos_ok & (self.b0[safe] == h0) & (self.b1[safe] == h1)
+                np.add.at(overlaps, doc_idx[hit], 1)
+        contaminated = overlaps >= self.min_overlaps
+        keep = contaminated if self.keep_contaminated else ~contaminated
+        return t.filter(pa.array(keep))
+
+
+def decontaminate(
+    docs_ds: "ray.data.Dataset",
+    bench_ds: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    min_overlaps: int = 1,
+    text_col: str = "text",
+    keep_contaminated: bool = False,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: drop every document whose text shares
+    ≥ ``min_overlaps`` DISTINCT word-``k``-grams with any document in
+    ``bench_ds`` (set ``keep_contaminated=True`` to get the flagged rows
+    instead — the audit view).  Returns surviving rows, original
+    columns.
+
+    Shape at 100 TB: the benchmark side is collected + broadcast once
+    (``ray.put``; eval sets are ~10³–10⁵ rows), the corpus side is one
+    shuffle-free actor-pool ``map_batches`` whose per-batch work is a
+    vectorized sorted-array membership probe.  Gram semantics match
+    ``ngram_jaccard_pairs_exact`` (lowercase, whitespace tokens,
+    distinct grams), so the op is SQL-mirrorable via a gram join."""
+    bench_ref = ray.put(benchmark_gram_hashes(bench_ds, k=k, text_col=text_col))
+    return docs_ds.map_batches(
+        _Decontaminator,
+        fn_constructor_kwargs={
+            "bench_ref": bench_ref,
+            "k": k,
+            "min_overlaps": min_overlaps,
+            "text_col": text_col,
+            "keep_contaminated": keep_contaminated,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -906,3 +906,96 @@ class TestCorpusPrep:
         )
         out = corpus_prep(ds, min_tokens=5, max_punct_ratio=0.2).take_all()
         assert [(r["lang"], r["n_docs"]) for r in out] == [("en", 1)]
+
+
+class TestSelection:
+    """Deterministic splits + benchmark decontamination."""
+
+    def test_duckdb_hash64_matches_duckdb(self):
+        import duckdb
+
+        from plugin_debezium_ray.functions import selection as sel
+
+        xs = np.array([0, 1, 42, 97, 12345678901234, 2**63 - 1], dtype=np.int64)
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT hash(x) FROM (SELECT unnest(?) AS x)", params=[xs.tolist()]
+            ).fetchall()
+        ]
+        got = sel.duckdb_hash64(xs).tolist()
+        assert got == want
+
+    def test_hash_split_deterministic_and_partition_proof(self):
+        from plugin_debezium_ray.functions import selection as sel
+
+        ids = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = (
+            sel.hash_split(ray.data.from_pandas(ids), splits)
+            .to_pandas().set_index("doc_id")["split"]
+        )
+        # same ids through a different partitioning → identical assignment
+        b = (
+            sel.hash_split(
+                ray.data.from_pandas(ids).repartition(7), splits
+            ).to_pandas().set_index("doc_id")["split"]
+        )
+        assert a.sort_index().equals(b.sort_index())
+        frac = a.value_counts(normalize=True)
+        assert 0.75 < frac["train"] < 0.85  # avalanche ≈ requested fractions
+        assert set(a.unique()) == {"train", "val", "test"}
+
+    def test_hash_split_rejects_bad_fractions(self):
+        from plugin_debezium_ray.functions import selection as sel
+
+        with pytest.raises(ValueError):
+            sel.hash_split(
+                ray.data.from_pandas(pd.DataFrame({"doc_id": [1]})),
+                {"train": 0.5, "val": 0.2},
+            )
+
+    def _decon_corpus(self):
+        bench_txt = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (0, bench_txt),                                    # benchmark member
+            (1, "prefix alpha beta gamma delta epsilon suffix"),  # shares 1 gram
+            (2, "alpha beta gamma delta epsilon zeta trailing words"),  # shares several
+            (3, "completely unrelated document about other things entirely"),
+            (4, "short doc"),                                  # < k words: never flagged
+            (5, None),                                         # null text: never flagged
+        ]
+        return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def test_decontaminate_drops_overlapping_docs(self):
+        from plugin_debezium_ray.functions import selection as sel
+
+        df = self._decon_corpus()
+        docs = ray.data.from_pandas(df)
+        bench = ray.data.from_pandas(df[df.doc_id == 0])
+        kept = sel.decontaminate(docs, bench, k=5).to_pandas()
+        assert sorted(kept["doc_id"]) == [3, 4, 5]
+        flagged = sel.decontaminate(
+            docs, bench, k=5, keep_contaminated=True
+        ).to_pandas()
+        assert sorted(flagged["doc_id"]) == [0, 1, 2]
+
+    def test_decontaminate_min_overlaps(self):
+        from plugin_debezium_ray.functions import selection as sel
+
+        df = self._decon_corpus()
+        docs = ray.data.from_pandas(df)
+        bench = ray.data.from_pandas(df[df.doc_id == 0])
+        # doc 1 shares exactly one 5-gram; doc 2 shares ≥ 2 → only doc 2
+        # (and the benchmark doc itself) fall at min_overlaps=2
+        kept = sel.decontaminate(docs, bench, k=5, min_overlaps=2).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 3, 4, 5]
+
+    def test_decontaminate_empty_benchmark_keeps_all(self):
+        from plugin_debezium_ray.functions import selection as sel
+
+        df = self._decon_corpus()
+        docs = ray.data.from_pandas(df)
+        bench = ray.data.from_pandas(df[df.doc_id < 0])
+        kept = sel.decontaminate(docs, bench, k=5).to_pandas()
+        assert sorted(kept["doc_id"]) == [0, 1, 2, 3, 4, 5]
