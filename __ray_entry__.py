@@ -553,6 +553,18 @@ def q_split_hash(sf_dir: str):
     )
 
 
+def q_sample_stratified(sf_dir: str):
+    """Per-language deterministic downsampling (mixture rebalancing):
+    keep 50% of en, 25% of zh, all other languages untouched."""
+    from plugin_debezium_ray.functions.selection import stratified_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(ds, {"en": 0.5, "zh": 0.25})
+    return out.select_columns(["doc_id", "lang"])
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: every 97th doc is the 'benchmark';
     docs sharing a 5-gram with any of them are dropped."""
@@ -806,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cosine_exact": q_dedup_cosine_exact,
         "corpus_prep": q_corpus_prep,
         "split_hash": q_split_hash,
+        "sample_stratified": q_sample_stratified,
         "decontaminate": q_decontaminate,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -915,6 +928,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM s GROUP BY split
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE hash(doc_id) % 10000 <
+                  CASE lang WHEN 'en' THEN 5000
+                            WHEN 'zh' THEN 2500
+                            ELSE 10000 END
         """,
         "decontaminate": """
             WITH w AS (

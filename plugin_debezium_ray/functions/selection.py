@@ -93,6 +93,40 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    fractions: "dict[object, float]",
+    *,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 1.0,
+    buckets: int = 10_000,
+) -> "ray.data.Dataset":
+    """Deterministic per-group downsampling (the language/source
+    rebalancing step of a pretraining mixture): a row survives iff
+    ``hash(id) % buckets < fraction[key] * buckets``.  Groups not in
+    ``fractions`` use ``default_fraction``.
+
+    Same guarantees as ``hash_split``: pure per-batch map (no shuffle),
+    membership depends only on the row id (stable across reruns and
+    cluster sizes, and a row kept at fraction f is also kept at every
+    fraction > f — nested samples for ablations), and the exact rule is
+    SQL-mirrorable via ``hash(id) % buckets < CASE key ... END``."""
+    thresholds = {
+        k: int(round(f * buckets)) for k, f in fractions.items()
+    }
+    default_thr = int(round(default_fraction * buckets))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (duckdb_hash64(ids) % np.uint64(buckets)).astype(np.int64)
+        keys = pd.Series(t[key_col].to_pandas())
+        thr = keys.map(thresholds).fillna(default_thr).to_numpy(np.int64)
+        return t.filter(pa.array(b < thr))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # ------------------------------------------------------ decontamination
 
 _DECON_HASH_KEY = "decontaminate-l1"  # 16 bytes — second independent lane

@@ -999,3 +999,39 @@ class TestSelection:
         bench = ray.data.from_pandas(df[df.doc_id < 0])
         kept = sel.decontaminate(docs, bench, k=5).to_pandas()
         assert sorted(kept["doc_id"]) == [0, 1, 2, 3, 4, 5]
+
+    def test_stratified_sample_nested_and_deterministic(self):
+        from plugin_debezium_ray.functions import selection as sel
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "lang": np.tile(["en", "de", "fr"], 1000),
+        })
+        ds = ray.data.from_pandas(df)
+        half = sel.stratified_sample(ds, {"en": 0.5}).to_pandas()
+        # untouched groups keep every row
+        assert (half["lang"] != "en").sum() == 2000
+        en_half = set(half.loc[half.lang == "en", "doc_id"])
+        assert 350 < len(en_half) < 650
+        # nested property: the 25% sample is a subset of the 50% sample
+        quarter = sel.stratified_sample(ds, {"en": 0.25}).to_pandas()
+        en_quarter = set(quarter.loc[quarter.lang == "en", "doc_id"])
+        assert en_quarter <= en_half
+        # determinism across a different partitioning
+        again = sel.stratified_sample(
+            ray.data.from_pandas(df).repartition(5), {"en": 0.5}
+        ).to_pandas()
+        assert set(again.loc[again.lang == "en", "doc_id"]) == en_half
+
+    def test_stratified_sample_zero_and_full(self):
+        from plugin_debezium_ray.functions import selection as sel
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(100, dtype=np.int64),
+            "lang": ["en"] * 50 + ["de"] * 50,
+        })
+        out = sel.stratified_sample(
+            ray.data.from_pandas(df), {"en": 0.0}, default_fraction=1.0
+        ).to_pandas()
+        assert (out["lang"] == "en").sum() == 0
+        assert (out["lang"] == "de").sum() == 50
