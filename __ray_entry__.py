@@ -500,6 +500,21 @@ def q_dedup_minhash(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def q_dedup_minhash_quality(sf_dir: str):
+    """Near-dedup keeping each cluster's HIGHEST-token-count member
+    (tie → min doc_id) instead of the min-id default."""
+    from plugin_debezium_ray.functions.dedup import minhash_dedup
+    from plugin_debezium_ray.functions.text import token_count_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(token_count_batch, batch_format="pyarrow")
+    kept = minhash_dedup(
+        ds, threshold=0.8, num_perm=64, bands=16, quality_col="n_tokens"
+    )
+    return kept.select_columns(["doc_id"])
+
+
 def q_dedup_ngram_jaccard(sf_dir: str):
     from plugin_debezium_ray.functions.dedup import ngram_jaccard_pairs_exact
 
@@ -812,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_quality": q_dedup_minhash_quality,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,

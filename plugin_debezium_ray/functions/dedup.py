@@ -596,6 +596,81 @@ def drop_duplicate_ids(
     )
 
 
+def select_representatives(
+    ds: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    quality_col: str,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Quality-aware alternative to ``drop_duplicate_ids``: within each
+    duplicate component keep the member with the HIGHEST
+    ``quality_col`` (tie → min id) — real pipelines keep the best copy,
+    not the lowest-numbered one.  Rows outside any component always
+    survive.  Null quality sorts worst.
+
+    Distributed shape: one hash join attaches quality to the component
+    members (the members set is bounded by the duplicate population,
+    never the corpus), ONE coarse-partition groupby picks each
+    component's winner, one join + LEFT ANTI drops the losers.  Nothing
+    reaches the driver."""
+    parts = _join_parts(num_partitions)
+
+    def qcols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_qid": t[id_col].combine_chunks(),
+             "_q": pc.cast(t[quality_col], pa.float64()).combine_chunks()}
+        )
+
+    qds = ds.map_batches(qcols, batch_format="pyarrow").repartition(parts)
+    # materialized: bounded by the duplicate population; two consumers
+    # below would otherwise re-run the corpus-side join twice
+    members = labels.repartition(parts).join(
+        qds, join_type="inner", num_partitions=parts,
+        on=("node",), right_on=("_qid",),
+    ).materialize()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (
+            pd.util.hash_array(df["root"].to_numpy()) % np.uint64(parts)
+        ).astype(np.int32)
+        return df
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.sort_values(
+            ["_q", "node"], ascending=[False, True], kind="stable"
+        )
+        w = g2.drop_duplicates("root")
+        return w[["root", "node"]].rename(columns={"node": "_winner"})
+
+    winners = (
+        members.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pick, batch_format="pandas")
+        .repartition(parts)
+    )
+    losers = (
+        members.join(
+            winners, join_type="inner", num_partitions=parts, on=("root",)
+        )
+        .filter(expr="node != _winner")
+        .map_batches(
+            lambda t: pa.table({"_dupe_id": t["node"].combine_chunks()}),
+            batch_format="pyarrow",
+        )
+        .repartition(parts)
+    )
+    return ds.join(
+        losers,
+        join_type="left_anti",
+        num_partitions=parts,
+        on=(id_col,),
+        right_on=("_dupe_id",),
+    )
+
+
 def minhash_dedup(
     ds: "ray.data.Dataset",
     *,
@@ -607,10 +682,12 @@ def minhash_dedup(
     k: int = 3,
     num_partitions: int = 16,
     small_path_max_pairs: int = 20_000,
+    quality_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Full MinHash-LSH near-dedup: LSH candidate pairs (Dataset) →
     exact-Jaccard verify → connected components → drop
-    non-representatives (min id survives).
+    non-representatives (min id survives; pass ``quality_col`` to keep
+    each component's HIGHEST-quality member instead, tie → min id).
 
     Two tails, switched on the MEASURED candidate-pair count (one driver
     scalar), never on guesswork:
@@ -640,9 +717,12 @@ def minhash_dedup(
         plist = sorted(set(zip(pt["a"].to_pylist(), pt["b"].to_pylist())))
         cand_ids = {x for p in plist for x in p}
         id_arr = pa.array(list(cand_ids))
+        fetch_cols = [id_col, text_col] + (
+            [quality_col] if quality_col else []
+        )
         texts_ds = ds.map_batches(
             lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr))
-            .select([id_col, text_col]),
+            .select(fetch_cols),
             batch_format="pyarrow",
         )
         tt = fetch_small_table(texts_ds)  # ≤ 2·bound
@@ -651,9 +731,23 @@ def minhash_dedup(
             (a, b) for a, b in plist
             if jaccard(texts[a], texts[b], k) >= threshold
         ]
-        dupes = {
-            n for n, r in connected_components(verified).items() if r != n
-        }
+        roots = connected_components(verified)
+        if quality_col is None:
+            dupes = {n for n, r in roots.items() if r != n}
+        else:
+            qual = dict(zip(tt[id_col].to_pylist(),
+                            tt[quality_col].to_pylist()))
+            comp: dict = {}
+            for n, r in roots.items():
+                comp.setdefault(r, []).append(n)
+            winners = {
+                # max quality, tie → min id; null quality sorts worst
+                min(ns, key=lambda n: (
+                    -(float("-inf") if qual.get(n) is None
+                      else float(qual[n])), n))
+                for ns in comp.values()
+            }
+            dupes = {n for n in roots if n not in winners}
         if not dupes:
             return ds
         dupes_arr = pa.array(list(dupes))
@@ -674,6 +768,11 @@ def minhash_dedup(
     labels = connected_components_distributed(
         verified, num_partitions=num_partitions
     )
+    if quality_col is not None:
+        return select_representatives(
+            ds, labels, id_col=id_col, quality_col=quality_col,
+            num_partitions=num_partitions,
+        )
     return drop_duplicate_ids(
         ds, labels, id_col=id_col, num_partitions=num_partitions
     )

@@ -1035,3 +1035,44 @@ class TestSelection:
         ).to_pandas()
         assert (out["lang"] == "en").sum() == 0
         assert (out["lang"] == "de").sum() == 50
+
+
+class TestQualityRepresentatives:
+    """quality_col keeps the best copy per near-dup cluster (tie → min
+    id), on BOTH the small-path shortcut and the distributed tail."""
+
+    def _corpus(self):
+        base = " ".join(f"tok{i} shared body of the cluster" for i in range(10))
+        base_b = " ".join(f"other{i} второй distinct corpus text" for i in range(10))
+        rows = [
+            # cluster A: 3 near-dups, best quality is doc 11
+            (10, base, 3.0),
+            (11, base.replace("tok0", "tok0x"), 9.0),
+            (12, base.replace("tok1", "tok1x"), 5.0),
+            # cluster B: 2 exact dups, tied quality → min id (20) wins
+            (20, base_b, 4.0),
+            (21, base_b, 4.0),
+            # singleton survives regardless of quality
+            (30, "totally unrelated text about unrelated affairs entirely", 0.0),
+        ]
+        return pd.DataFrame(rows, columns=["doc_id", "text", "quality"])
+
+    @pytest.mark.parametrize("small_max", [20_000, 0])
+    def test_best_quality_survives(self, small_max):
+        df = self._corpus()
+        kept = dedup.minhash_dedup(
+            ray.data.from_pandas(df),
+            threshold=0.5, num_perm=64, bands=16, k=3,
+            quality_col="quality", small_path_max_pairs=small_max,
+        ).to_pandas()
+        assert sorted(kept["doc_id"]) == [11, 20, 30]
+
+    @pytest.mark.parametrize("small_max", [20_000, 0])
+    def test_default_still_min_id(self, small_max):
+        df = self._corpus()
+        kept = dedup.minhash_dedup(
+            ray.data.from_pandas(df),
+            threshold=0.5, num_perm=64, bands=16, k=3,
+            small_path_max_pairs=small_max,
+        ).to_pandas()
+        assert sorted(kept["doc_id"]) == [10, 20, 30]

@@ -88,3 +88,12 @@ def test_embedding_pairs_golden():
     out = _queries()["dedup_embedding"](SF_DIR)
     got = sorted(map(list, out.itertuples(index=False)))
     assert got == want
+
+
+def test_minhash_quality_survivors_golden():
+    """Quality-aware representative selection (keep the highest
+    n_tokens copy per cluster) — pinned so drift in the winner rule
+    or the CC labels shows here."""
+    want = _golden("dedup_minhash_quality")
+    out = _queries()["dedup_minhash_quality"](SF_DIR).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == want

@@ -46,6 +46,9 @@ def main() -> None:
         "dedup_minhash": sorted(
             qs["dedup_minhash"](SF_DIR).to_pandas()["doc_id"].tolist()
         ),
+        "dedup_minhash_quality": sorted(
+            qs["dedup_minhash_quality"](SF_DIR).to_pandas()["doc_id"].tolist()
+        ),
         "dedup_simhash": sorted(
             map(list, qs["dedup_simhash"](SF_DIR).itertuples(index=False))
         ),
