@@ -568,6 +568,25 @@ def q_split_hash(sf_dir: str):
     )
 
 
+def q_text_redact(sf_dir: str):
+    """Pattern scrubbing over the customer names (the long digit runs
+    stand in for account ids): RE2 rewrite + per-row match count."""
+    from plugin_debezium_ray.functions.text import PatternRedactor
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    out = ds.map_batches(
+        PatternRedactor(
+            patterns=(("ids", r"\d{6,}", "<ID>"),), text_col="c_name",
+            out_col="name_redacted",
+        ),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["c_custkey", "name_redacted", "n_ids"])
+
+
 def q_sample_stratified(sf_dir: str):
     """Per-language deterministic downsampling (mixture rebalancing):
     keep 50% of en, 25% of zh, all other languages untouched."""
@@ -835,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": q_corpus_prep,
         "split_hash": q_split_hash,
         "sample_stratified": q_sample_stratified,
+        "text_redact": q_text_redact,
         "decontaminate": q_decontaminate,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -944,6 +964,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM s GROUP BY split
+        """,
+        "text_redact": """
+            SELECT c_custkey,
+                   regexp_replace(c_name, '\\d{6,}', '<ID>', 'g')
+                     AS name_redacted,
+                   CAST(len(regexp_extract_all(c_name, '\\d{6,}')) AS BIGINT)
+                     AS n_ids
+            FROM customer
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

@@ -141,6 +141,47 @@ class LangId:
         return out.append_column("lang_score", pa.array(scores))
 
 
+# ------------------------------------------------------------ redaction
+
+# applied IN ORDER: emails first (their digits must not feed the phone
+# pattern), IPs before phones (dotted octets look like dotted phones)
+DEFAULT_PII_PATTERNS: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\b\d[\d.\- ]{6,14}\d\b", "<PHONE>"),
+)
+
+
+class PatternRedactor:
+    """Vectorized PII / pattern scrubbing: each ``(name, regex,
+    replacement)`` is applied in order with Arrow's RE2 kernels —
+    ``pc.count_substring_regex`` emits an ``n_<name>`` count column,
+    ``pc.replace_substring_regex`` rewrites the text.  Counts are taken
+    on the text AS OF that stage (after earlier patterns ran), which is
+    exactly what a chain of SQL ``regexp_replace(...regexp_replace...)``
+    calls sees — Arrow and DuckDB both use RE2, so the rewrite is
+    mirrorable 1:1 (verified).  No per-row Python anywhere."""
+
+    def __init__(
+        self,
+        patterns=DEFAULT_PII_PATTERNS,
+        text_col: str = "text",
+        out_col: str | None = None,
+    ):
+        self.patterns = tuple(patterns)
+        self.text_col = text_col
+        self.out_col = out_col or f"{text_col}_redacted"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.text_col]
+        out = t
+        for name, pat, repl in self.patterns:
+            n = pc.count_substring_regex(col, pat)
+            out = out.append_column(f"n_{name}", pc.cast(n, pa.int64()))
+            col = pc.replace_substring_regex(col, pat, repl)
+        return out.append_column(self.out_col, col)
+
+
 # --------------------------------------------------------- fingerprints
 
 

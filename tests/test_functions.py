@@ -1076,3 +1076,35 @@ class TestQualityRepresentatives:
             small_path_max_pairs=small_max,
         ).to_pandas()
         assert sorted(kept["doc_id"]) == [10, 20, 30]
+
+
+class TestRedaction:
+    def test_pii_defaults_order_and_counts(self):
+        t = pa.table({"text": [
+            "contact john.doe+spam@example.co.uk or +1-415-555-0175",
+            "server 192.168.0.1, backup 10.0.0.255",
+            "ids 12345678 then a.b@c.io",
+            "no pii here",
+            None,
+        ]})
+        out = text.PatternRedactor()(t)
+        assert out["text_redacted"].to_pylist() == [
+            "contact <EMAIL> or <PHONE>",
+            "server <IP>, backup <IP>",
+            "ids <PHONE> then <EMAIL>",
+            "no pii here",
+            None,
+        ]
+        assert out["n_email"].to_pylist() == [1, 0, 1, 0, None]
+        assert out["n_ip"].to_pylist() == [0, 2, 0, 0, None]
+        # email digits were consumed BEFORE the phone pass
+        assert out["n_phone"].to_pylist() == [1, 0, 1, 0, None]
+
+    def test_custom_patterns(self):
+        t = pa.table({"c_name": ["Customer#000000042", "plain"]})
+        out = text.PatternRedactor(
+            patterns=(("ids", r"\d{6,}", "<ID>"),),
+            text_col="c_name", out_col="name_redacted",
+        )(t)
+        assert out["name_redacted"].to_pylist() == ["Customer#<ID>", "plain"]
+        assert out["n_ids"].to_pylist() == [1, 0]
