@@ -568,6 +568,17 @@ def q_split_hash(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Fixed-length sequence packing: concatenate docs in doc_id order,
+    split every 256 tokens; per-doc global token interval."""
+    from plugin_debezium_ray.functions.packing import pack_sequences
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return pack_sequences(ds, seq_len=256)
+
+
 def q_text_redact(sf_dir: str):
     """Pattern scrubbing over the customer names (the long digit runs
     stand in for account ids): RE2 rewrite + per-row match count."""
@@ -855,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_hash": q_split_hash,
         "sample_stratified": q_sample_stratified,
         "text_redact": q_text_redact,
+        "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -964,6 +976,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM s GROUP BY split
+        """,
+        "pack_sequences": """
+            WITH tc AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+              FROM tc
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((cum - n_tokens) // 256 AS BIGINT) AS first_seq,
+                   CAST(greatest((cum - 1) // 256,
+                                 (cum - n_tokens) // 256) AS BIGINT)
+                     AS last_seq,
+                   CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+            FROM c
         """,
         "text_redact": """
             SELECT c_custkey,

@@ -1,0 +1,152 @@
+"""Fixed-length sequence packing — the last step of a pretraining data
+pipeline: documents are concatenated in a deterministic order and split
+into ``seq_len``-token training sequences (documents may span sequence
+boundaries; nothing is padded away).
+
+The hard part at scale is the ORDERED prefix sum over token counts.
+Implemented as the classic three-phase distributed scan:
+
+  1. vectorized per-doc token counts (reuses ``token_count_batch``)
+  2. ONE range shuffle: sort by the id column (the packing order is
+     part of the op's definition — an order-free "pack" would not be
+     reproducible), blocks come out range-partitioned and ordered
+  3. scan: per-block token totals are computed by parallel tasks
+     (each reads its block from the object store, returns one scalar),
+     the driver folds the B scalars into exclusive block bases (O(B)
+     integers — thousands at 100 TB, never row-scale), and a second
+     parallel pass assigns every document its global token interval.
+
+Per document the result is exactly where its tokens land:
+``first_seq = (cum - n) // L``, ``last_seq = (cum - 1) // L`` (clamped
+to ``first_seq`` for empty docs) and ``seq_offset = (cum - n) % L`` —
+all integers, so the whole op is mirrorable by a SQL running-sum
+window (``SUM(...) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from plugin_debezium_ray.functions.text import token_count_batch
+
+
+@ray.remote
+def _block_token_total(tbl: pa.Table, token_col: str) -> int:
+    # Ray 2.49 sort emits schema-less EMPTY blocks — no rows, no columns
+    if tbl.num_rows == 0:
+        return 0
+    s = pc.sum(tbl[token_col])
+    return int(s.as_py() or 0)
+
+
+class _AssignSequences:
+    """Second scan pass: one (block index, base offset) descriptor per
+    input row; fetch the block, in-block cumulative sum + global base,
+    emit the per-doc sequence interval."""
+
+    def __init__(self, refs, seq_len: int, id_col: str, token_col: str):
+        self.refs = refs
+        self.seq_len = seq_len
+        self.id_col = id_col
+        self.token_col = token_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, base in zip(batch["i"].to_pylist(), batch["base"].to_pylist()):
+            t = ray.get(self.refs[i])
+            if t.num_rows == 0:
+                continue
+            n = t[self.token_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            cum = np.cumsum(n) + np.int64(base)
+            start = cum - n
+            first = start // self.seq_len
+            last = np.maximum((cum - 1) // self.seq_len, first)
+            outs.append(pa.table(
+                {
+                    self.id_col: t[self.id_col],
+                    "n_tokens": pa.array(n),
+                    "first_seq": pa.array(first),
+                    "last_seq": pa.array(last),
+                    "seq_offset": pa.array(start % self.seq_len),
+                }
+            ))
+        if not outs:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "first_seq": pa.array([], pa.int64()),
+                 "last_seq": pa.array([], pa.int64()),
+                 "seq_offset": pa.array([], pa.int64())}
+            ).rename_columns(
+                [self.id_col, "n_tokens", "first_seq", "last_seq",
+                 "seq_offset"]
+            )
+        return pa.concat_tables(outs)
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """Assign every document its token interval in the packed training
+    stream: concatenate docs in ascending ``id_col`` order, split at
+    every ``seq_len`` tokens.  Returns
+    ``(id, n_tokens, first_seq, last_seq, seq_offset)``.
+
+    Pass ``token_col`` to pack by a precomputed count (e.g. a real
+    tokenizer's); otherwise whitespace counts are computed here
+    (``token_count_batch`` semantics; null text = 0 tokens).
+
+    Scale shape: one sort (the only shuffle), two parallel passes over
+    the sorted blocks, O(num_blocks) driver integers.  Deterministic:
+    the same corpus always packs identically, so a resumed/sharded
+    tokenization job can consume ``(first_seq, seq_offset)`` as stable
+    coordinates."""
+    if token_col is None:
+        def count(t: pa.Table) -> pa.Table:
+            c = token_count_batch(t, text_col=text_col)
+            n = pc.fill_null(c["n_tokens"], 0)  # null text packs as 0
+            return pa.table({id_col: t[id_col], "_n": n})
+
+        counted = ds.map_batches(count, batch_format="pyarrow")
+        token_col = "_n"
+    else:
+        counted = ds.select_columns([id_col, token_col])
+
+    refs = counted.sort(id_col).to_arrow_refs()
+    totals = ray.get(
+        [_block_token_total.remote(r, token_col) for r in refs]
+    )
+    bases = np.concatenate([[0], np.cumsum(totals[:-1], dtype=np.int64)]) \
+        if totals else np.zeros(0, dtype=np.int64)
+    items = [
+        {"i": i, "base": int(b)} for i, b in enumerate(bases)
+    ]
+    if not items:
+        items = [{"i": 0, "base": 0}]  # empty corpus → empty result table
+        refs = [ray.put(pa.table({id_col: pa.array([], pa.int64()),
+                                  token_col: pa.array([], pa.int64())}))]
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)
+    ).map_batches(
+        _AssignSequences,
+        fn_constructor_kwargs={
+            "refs": refs, "seq_len": seq_len,
+            "id_col": id_col, "token_col": token_col,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency or max(1, min(len(refs), 16)),
+    )

@@ -1108,3 +1108,66 @@ class TestRedaction:
         )(t)
         assert out["name_redacted"].to_pylist() == ["Customer#<ID>", "plain"]
         assert out["n_ids"].to_pylist() == [1, 0]
+
+
+class TestPacking:
+    """Sequence packing: the distributed ordered prefix sum must equal
+    the single-threaded scan, across block boundaries and edge docs."""
+
+    def test_matches_serial_scan(self):
+        from plugin_debezium_ray.functions.packing import pack_sequences
+
+        rng = np.random.default_rng(3)
+        n = 500
+        texts = [
+            " ".join(f"w{j}" for j in range(rng.integers(0, 40)))
+            for _ in range(n)
+        ]
+        texts[7] = ""        # empty doc packs as 0 tokens
+        texts[13] = None     # null doc packs as 0 tokens
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                           "text": texts})
+        # shuffle the input: packing order is defined by doc_id, not
+        # arrival order
+        shuffled = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+        ds = ray.data.from_pandas(shuffled).repartition(9)
+        L = 64
+        out = (pack_sequences(ds, seq_len=L).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        # serial reference
+        counts = [0 if t is None or not t.split() else len(t.split())
+                  for t in texts]
+        cum = 0
+        first, last, off = [], [], []
+        for c in counts:
+            start = cum
+            cum += c
+            first.append(start // L)
+            last.append(max((cum - 1) // L, start // L))
+            off.append(start % L)
+        assert out["n_tokens"].tolist() == counts
+        assert out["first_seq"].tolist() == first
+        assert out["last_seq"].tolist() == last
+        assert out["seq_offset"].tolist() == off
+        # long docs really do span sequences in this fixture
+        assert (out["last_seq"] > out["first_seq"]).any()
+
+    def test_precomputed_token_col(self):
+        from plugin_debezium_ray.functions.packing import pack_sequences
+
+        df = pd.DataFrame({"doc_id": [3, 1, 2], "bpe": [10, 5, 7]})
+        out = (pack_sequences(ray.data.from_pandas(df), seq_len=8,
+                              token_col="bpe")
+               .to_pandas().sort_values("doc_id"))
+        # order by id: 5, 7, 10 tokens → starts 0, 5, 12
+        assert out["first_seq"].tolist() == [0, 0, 1]
+        assert out["last_seq"].tolist() == [0, 1, 2]
+        assert out["seq_offset"].tolist() == [0, 5, 4]
+
+    def test_empty_corpus(self):
+        from plugin_debezium_ray.functions.packing import pack_sequences
+
+        df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "text": pd.Series([], dtype="object")})
+        out = pack_sequences(ray.data.from_pandas(df), seq_len=8)
+        assert out.count() == 0
