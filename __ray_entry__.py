@@ -568,6 +568,20 @@ def q_split_hash(sf_dir: str):
     )
 
 
+def q_text_repetition(sf_dir: str):
+    """Gopher-style repetition signals: distinct-word count, duplicate
+    share, top-word share."""
+    from plugin_debezium_ray.functions.text import repetition_stats_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_distinct_words", "dup_word_ratio", "top_word_ratio"]
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """Fixed-length sequence packing: concatenate docs in doc_id order,
     split every 256 tokens; per-doc global token interval."""
@@ -866,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_hash": q_split_hash,
         "sample_stratified": q_sample_stratified,
         "text_redact": q_text_redact,
+        "text_repetition": q_text_repetition,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "text_token_count": q_text_token_count,
@@ -976,6 +991,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM s GROUP BY split
+        """,
+        "text_repetition": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                          ELSE regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+') END AS w
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, x FROM w, LATERAL unnest(w.w) AS t(x)
+            ), per AS (
+              SELECT doc_id, x, count(*) AS c FROM ex GROUP BY doc_id, x
+            ), agg AS (
+              SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+                     max(c) AS top
+              FROM per GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE CAST(coalesce(a.n_distinct, 0) AS BIGINT)
+                   END AS n_distinct_words,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        WHEN coalesce(a.n_words, 0) = 0 THEN 0.0
+                        ELSE 1 - CAST(a.n_distinct AS DOUBLE) / a.n_words
+                   END AS dup_word_ratio,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE CAST(coalesce(a.top, 0) AS DOUBLE)
+                             / greatest(coalesce(a.n_words, 0), 1)
+                   END AS top_word_ratio
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "pack_sequences": """
             WITH tc AS (

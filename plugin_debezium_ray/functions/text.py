@@ -141,6 +141,50 @@ class LangId:
         return out.append_column("lang_score", pa.array(scores))
 
 
+def repetition_stats_batch(
+    t: pa.Table, *, text_col: str = "text"
+) -> pa.Table:
+    """Gopher-style repetition signals per document: distinct-word
+    count, the most-frequent word's share (``top_word_ratio``) and the
+    duplicate-word share (``dup_word_ratio`` = 1 − distinct/total).
+    High values flag boilerplate / degenerate text.
+
+    Vectorized: ONE pandas explode over the whole batch, two
+    groupby-level aggregations — no per-document Python loop.  Counts
+    are over lowercased whitespace tokens, mirroring the SQL oracle's
+    ``unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))``."""
+    s = pd.Series(t[text_col].to_pandas()).reset_index(drop=True)
+    lowered = s.str.lower().str.strip()
+    words = lowered.str.findall(r"\S+")
+    n_words = words.str.len().fillna(0).astype(np.int64)
+    ex = words.explode().dropna()
+    if len(ex):
+        per_word = ex.groupby([ex.index, ex]).size()
+        n_distinct = per_word.groupby(level=0).size()
+        top = per_word.groupby(level=0).max()
+    else:
+        n_distinct = pd.Series([], dtype=np.int64)
+        top = pd.Series([], dtype=np.int64)
+    n_distinct = n_distinct.reindex(s.index, fill_value=0).astype(np.int64)
+    top = top.reindex(s.index, fill_value=0).astype(np.int64)
+    denom = np.maximum(n_words.to_numpy(), 1).astype(np.float64)
+    dup_ratio = 1.0 - n_distinct.to_numpy() / denom
+    dup_ratio[n_words.to_numpy() == 0] = 0.0
+    top_ratio = top.to_numpy() / denom
+
+    def masked(vals: np.ndarray, typ) -> pa.Array:
+        # null text → null stats (mirrors the oracle's WHERE-less CASE)
+        return pa.array(vals, type=typ, mask=s.isna().to_numpy())
+
+    out = t.append_column(
+        "n_distinct_words", masked(n_distinct.to_numpy(), pa.int64())
+    )
+    out = out.append_column("dup_word_ratio", masked(dup_ratio, pa.float64()))
+    return out.append_column(
+        "top_word_ratio", masked(top_ratio, pa.float64())
+    )
+
+
 # ------------------------------------------------------------ redaction
 
 # applied IN ORDER: emails first (their digits must not feed the phone

@@ -1171,3 +1171,27 @@ class TestPacking:
                            "text": pd.Series([], dtype="object")})
         out = pack_sequences(ray.data.from_pandas(df), seq_len=8)
         assert out.count() == 0
+
+
+class TestRepetition:
+    def test_repetition_stats(self):
+        t = pa.table({"text": [
+            "a a a a b",            # 5 words, 2 distinct, top a=4
+            "all words are unique", # 4/4
+            "",                     # empty → zeros
+            "   ",                  # whitespace-only → zeros
+            None,                   # null → nulls
+            "Case CASE case",       # lowercased: 3 words, 1 distinct
+        ]})
+        out = text.repetition_stats_batch(t)
+        assert out["n_distinct_words"].to_pylist() == [2, 4, 0, 0, None, 1]
+        dup = out["dup_word_ratio"].to_pylist()
+        assert dup[0] == pytest.approx(1 - 2 / 5)
+        assert dup[1] == 0.0 and dup[2] == 0.0 and dup[3] == 0.0
+        assert dup[4] is None
+        assert dup[5] == pytest.approx(1 - 1 / 3)
+        top = out["top_word_ratio"].to_pylist()
+        assert top[0] == pytest.approx(4 / 5)
+        assert top[1] == pytest.approx(1 / 4)
+        assert top[2] == 0.0 and top[4] is None
+        assert top[5] == pytest.approx(1.0)
