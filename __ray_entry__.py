@@ -593,6 +593,17 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, seq_len=256)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (RAG preprocessing): 32-token
+    chunks, 8-token overlap."""
+    from plugin_debezium_ray.functions.packing import chunk_documents
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, chunk_tokens=32, overlap=8)
+
+
 def q_text_redact(sf_dir: str):
     """Pattern scrubbing over the customer names (the long digit runs
     stand in for account ids): RE2 rewrite + per-row match count."""
@@ -882,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": q_text_redact,
         "text_repetition": q_text_repetition,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
         "decontaminate": q_decontaminate,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -991,6 +1003,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM s GROUP BY split
+        """,
+        "chunk_documents": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''
+            )
+            SELECT doc_id, i AS chunk_id,
+                   CAST(least(i*24 + 32, len(w)) - i*24 AS BIGINT)
+                     AS n_chunk_tokens,
+                   array_to_string(w[i*24 + 1 : least(i*24 + 32, len(w))],
+                                   ' ') AS chunk_text
+            FROM w, LATERAL unnest(range(0, (len(w) - 1) // 24 + 1)) AS t(i)
         """,
         "text_repetition": """
             WITH w AS (

@@ -35,6 +35,62 @@ import ray.data
 from plugin_debezium_ray.functions.text import token_count_batch
 
 
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    *,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Split every document into overlapping token-window chunks (the
+    RAG / long-context preprocessing step): windows of ``chunk_tokens``
+    whitespace tokens starting every ``chunk_tokens - overlap`` tokens;
+    the last window may be shorter.  Emits one row per chunk:
+    ``(id, chunk_id, n_chunk_tokens, chunk_text)``.
+
+    Embarrassingly parallel flat-map — no shuffle, no state; chunk ids
+    are per-document, so the op is deterministic under any partitioning.
+    Tokenization is ``trim + split on whitespace runs`` (texts
+    reassemble with single spaces), mirroring the SQL oracle's
+    ``array_to_string(w[i·s+1 : i·s+c], ' ')``.  Null / empty docs emit
+    no chunks."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    import re as _re
+
+    word_re = _re.compile(r"\S+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out: list = []
+        chunk_ids: list[int] = []
+        sizes: list[int] = []
+        texts_out: list[str] = []
+        ids = t[id_col].to_pylist()
+        for did, tx in zip(ids, t[text_col].to_pylist()):
+            if tx is None:
+                continue
+            toks = word_re.findall(tx)
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, stride)):
+                piece = toks[s : s + chunk_tokens]
+                ids_out.append(did)
+                chunk_ids.append(ci)
+                sizes.append(len(piece))
+                texts_out.append(" ".join(piece))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, type=t[id_col].type),
+                "chunk_id": pa.array(chunk_ids, type=pa.int64()),
+                "n_chunk_tokens": pa.array(sizes, type=pa.int64()),
+                "chunk_text": pa.array(texts_out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 @ray.remote
 def _block_token_total(tbl: pa.Table, token_col: str) -> int:
     # Ray 2.49 sort emits schema-less EMPTY blocks — no rows, no columns

@@ -1195,3 +1195,32 @@ class TestRepetition:
         assert top[1] == pytest.approx(1 / 4)
         assert top[2] == 0.0 and top[4] is None
         assert top[5] == pytest.approx(1.0)
+
+
+class TestChunking:
+    def test_overlapping_windows(self):
+        from plugin_debezium_ray.functions.packing import chunk_documents
+
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c d e f g", "x y", "", None],
+        }))
+        out = (chunk_documents(ds, chunk_tokens=5, overlap=2).to_pandas()
+               .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+        got = list(zip(out["doc_id"], out["chunk_id"], out["chunk_text"]))
+        assert got == [
+            (1, 0, "a b c d e"), (1, 1, "d e f g"), (1, 2, "g"),
+            (2, 0, "x y"),
+        ]
+        assert out["n_chunk_tokens"].tolist() == [5, 4, 1, 2]
+
+    def test_no_overlap_and_validation(self):
+        from plugin_debezium_ray.functions.packing import chunk_documents
+
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": [1], "text": ["a b c d"],
+        }))
+        out = chunk_documents(ds, chunk_tokens=2).to_pandas()
+        assert out["chunk_text"].tolist() == ["a b", "c d"]
+        with pytest.raises(ValueError):
+            chunk_documents(ds, chunk_tokens=4, overlap=4)
