@@ -1005,10 +1005,13 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY split
         """,
         "chunk_documents": """
+            -- regexp_extract_all == Python findall: no trim/split
+            -- empty-token edge cases; [^\\t\\n\\f\\r ]+ is RE2's \\S+
             WITH w AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^\\t\\n\\f\\r ]+') AS w
               FROM documents
-              WHERE text IS NOT NULL AND trim(text) <> ''
+              WHERE text IS NOT NULL
             )
             SELECT doc_id, i AS chunk_id,
                    CAST(least(i*24 + 32, len(w)) - i*24 AS BIGINT)
@@ -1016,14 +1019,15 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(w[i*24 + 1 : least(i*24 + 32, len(w))],
                                    ' ') AS chunk_text
             FROM w, LATERAL unnest(range(0, (len(w) - 1) // 24 + 1)) AS t(i)
+            WHERE len(w) > 0
         """,
         "text_repetition": """
+            -- regexp_extract_all == Python findall (see chunk_documents)
             WITH w AS (
-              SELECT doc_id, text,
-                     CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
-                          ELSE regexp_split_to_array(trim(lower(text)),
-                                                     '\\s+') END AS w
-              FROM documents
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[^\\t\\n\\f\\r ]+') AS w
+              FROM documents WHERE text IS NOT NULL
             ), ex AS (
               SELECT doc_id, x FROM w, LATERAL unnest(w.w) AS t(x)
             ), per AS (

@@ -737,16 +737,19 @@ def minhash_dedup(
         else:
             qual = dict(zip(tt[id_col].to_pylist(),
                             tt[quality_col].to_pylist()))
+
+            def qkey(n):
+                # max quality, tie → min id; null AND NaN quality sort
+                # worst (NaN would poison min()'s comparisons and make
+                # the winner order-dependent)
+                q = qual.get(n)
+                q = float("-inf") if q is None or q != q else float(q)
+                return (-q, n)
+
             comp: dict = {}
             for n, r in roots.items():
                 comp.setdefault(r, []).append(n)
-            winners = {
-                # max quality, tie → min id; null quality sorts worst
-                min(ns, key=lambda n: (
-                    -(float("-inf") if qual.get(n) is None
-                      else float(qual[n])), n))
-                for ns in comp.values()
-            }
+            winners = {min(ns, key=qkey) for ns in comp.values()}
             dupes = {n for n in roots if n not in winners}
         if not dupes:
             return ds
@@ -1317,8 +1320,12 @@ class _BlockPairScorer:
             self._lru.append(idx)
             return hit
         t = ray.get(self.refs[idx])
-        ids = t["_id"].to_numpy(zero_copy_only=False)
-        mat = _fsb64_to_vecs(t["_vec"])
+        if t.num_rows == 0:  # empty block: no buffer to view
+            ids = np.empty(0, dtype=np.int64)
+            mat = np.empty((0, 1), dtype=np.float64)
+        else:
+            ids = t["_id"].to_numpy(zero_copy_only=False)
+            mat = _fsb64_to_vecs(t["_vec"])
         self._cache[idx] = (ids, mat)
         self._lru.append(idx)
         if len(self._lru) > self._CACHE_BLOCKS:
@@ -1398,6 +1405,11 @@ def cosine_pairs_exact(
     """
 
     def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"_id": pa.array([], t[id_col].type),
+                 "_vec": pa.array([], pa.binary())}
+            )
         vecs = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         normed = vecs / np.maximum(norms, 1e-300)
@@ -1416,6 +1428,11 @@ def cosine_pairs_exact(
         {"i": i, "j": j} for i in range(nblocks) for j in range(i, nblocks)
     ]
     npairs = len(pairs)
+    if npairs == 0:  # empty corpus → empty pair set
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+        )
     return ray.data.from_items(
         pairs, override_num_blocks=min(npairs, 64)
     ).map_batches(

@@ -60,7 +60,10 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     import re as _re
 
-    word_re = _re.compile(r"\S+")
+    # RE2's \s is exactly [\t\n\f\r ] (no \v, no Unicode spaces) —
+    # Python's Unicode-aware \S+ would split on NBSP where the Arrow /
+    # DuckDB kernels don't, so spell the class out for oracle parity
+    word_re = _re.compile(r"[^\t\n\f\r ]+")
 
     def explode(t: pa.Table) -> pa.Table:
         ids_out: list = []
@@ -105,11 +108,13 @@ class _AssignSequences:
     input row; fetch the block, in-block cumulative sum + global base,
     emit the per-doc sequence interval."""
 
-    def __init__(self, refs, seq_len: int, id_col: str, token_col: str):
+    def __init__(self, refs, seq_len: int, id_col: str, token_col: str,
+                 id_type: pa.DataType):
         self.refs = refs
         self.seq_len = seq_len
         self.id_col = id_col
         self.token_col = token_col
+        self.id_type = id_type
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = []
@@ -117,8 +122,10 @@ class _AssignSequences:
             t = ray.get(self.refs[i])
             if t.num_rows == 0:
                 continue
-            n = t[self.token_col].to_numpy(zero_copy_only=False).astype(
-                np.int64
+            n = (
+                pc.fill_null(t[self.token_col], 0)  # null count packs as 0
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
             cum = np.cumsum(n) + np.int64(base)
             start = cum - n
@@ -135,7 +142,7 @@ class _AssignSequences:
             ))
         if not outs:
             return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
+                {"doc_id": pa.array([], self.id_type),
                  "n_tokens": pa.array([], pa.int64()),
                  "first_seq": pa.array([], pa.int64()),
                  "last_seq": pa.array([], pa.int64()),
@@ -163,7 +170,8 @@ def pack_sequences(
 
     Pass ``token_col`` to pack by a precomputed count (e.g. a real
     tokenizer's); otherwise whitespace counts are computed here
-    (``token_count_batch`` semantics; null text = 0 tokens).
+    (``token_count_batch`` semantics).  Null text / null counts pack as
+    0 tokens on both paths.
 
     Scale shape: one sort (the only shuffle), two parallel passes over
     the sorted blocks, O(num_blocks) driver integers.  Deterministic:
@@ -181,6 +189,13 @@ def pack_sequences(
     else:
         counted = ds.select_columns([id_col, token_col])
 
+    # id type from the INPUT dataset (metadata-only for file reads; the
+    # id column passes through unchanged) — asking the sorted dataset
+    # would execute the sort a second time.  Pandas-block datasets
+    # report Python types here, not Arrow ones → fall back to int64.
+    sch = ds.schema()
+    typ = sch.types[sch.names.index(id_col)] if sch is not None else None
+    id_type = typ if isinstance(typ, pa.DataType) else pa.int64()
     refs = counted.sort(id_col).to_arrow_refs()
     totals = ray.get(
         [_block_token_total.remote(r, token_col) for r in refs]
@@ -192,7 +207,7 @@ def pack_sequences(
     ]
     if not items:
         items = [{"i": 0, "base": 0}]  # empty corpus → empty result table
-        refs = [ray.put(pa.table({id_col: pa.array([], pa.int64()),
+        refs = [ray.put(pa.table({id_col: pa.array([], id_type),
                                   token_col: pa.array([], pa.int64())}))]
     return ray.data.from_items(
         items, override_num_blocks=len(items)
@@ -200,7 +215,7 @@ def pack_sequences(
         _AssignSequences,
         fn_constructor_kwargs={
             "refs": refs, "seq_len": seq_len,
-            "id_col": id_col, "token_col": token_col,
+            "id_col": id_col, "token_col": token_col, "id_type": id_type,
         },
         batch_format="pyarrow",
         batch_size=1,

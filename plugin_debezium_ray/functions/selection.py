@@ -78,6 +78,11 @@ def hash_split(
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    bad = {k: f for k, f in splits.items() if not 0.0 <= f <= 1.0}
+    if bad:
+        # a negative fraction would make the edges non-monotonic and
+        # searchsorted silently garbage
+        raise ValueError(f"split fractions must be in [0, 1]: {bad}")
     names = list(splits)
     # integer bucket thresholds, identical to what the SQL CASE uses
     edges = np.cumsum([int(round(splits[n] * buckets)) for n in names])
@@ -182,6 +187,8 @@ def benchmark_gram_hashes(
     if t.num_rows == 0:
         e = np.empty(0, dtype=np.uint64)
         return e, e
+    # np.unique(axis=0) output is already lexicographically sorted —
+    # exactly the (h0-major) order the searchsorted probe needs
     pairs = np.unique(
         np.stack(
             [t["h0"].to_numpy(zero_copy_only=False),
@@ -190,8 +197,6 @@ def benchmark_gram_hashes(
         ),
         axis=0,
     )
-    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
-    pairs = pairs[order]
     return np.ascontiguousarray(pairs[:, 0]), np.ascontiguousarray(pairs[:, 1])
 
 

@@ -154,8 +154,9 @@ def repetition_stats_batch(
     are over lowercased whitespace tokens, mirroring the SQL oracle's
     ``unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))``."""
     s = pd.Series(t[text_col].to_pandas()).reset_index(drop=True)
-    lowered = s.str.lower().str.strip()
-    words = lowered.str.findall(r"\S+")
+    # [^\t\n\f\r ]+ == RE2's \S (Python's \S+ also excludes Unicode
+    # spaces like NBSP — that would break parity with the SQL oracle)
+    words = s.str.lower().str.findall(r"[^\t\n\f\r ]+")
     n_words = words.str.len().fillna(0).astype(np.int64)
     ex = words.explode().dropna()
     if len(ex):

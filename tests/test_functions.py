@@ -1224,3 +1224,74 @@ class TestChunking:
         assert out["chunk_text"].tolist() == ["a b", "c d"]
         with pytest.raises(ValueError):
             chunk_documents(ds, chunk_tokens=4, overlap=4)
+
+
+class TestReviewRegressions:
+    """Pins for the round-3 self-review findings."""
+
+    def test_pack_sequences_null_precomputed_counts(self):
+        from plugin_debezium_ray.functions.packing import pack_sequences
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3],
+                           "bpe": pd.array([4, None, 5], dtype="Int64")})
+        out = (pack_sequences(ray.data.from_pandas(df), seq_len=4,
+                              token_col="bpe")
+               .to_pandas().sort_values("doc_id"))
+        # null count packs as 0 tokens, later docs unaffected
+        assert out["n_tokens"].tolist() == [4, 0, 5]
+        assert out["first_seq"].tolist() == [0, 1, 1]
+        assert out["seq_offset"].tolist() == [0, 0, 0]
+
+    def test_pack_sequences_empty_corpus_keeps_id_type(self):
+        from plugin_debezium_ray.functions.packing import pack_sequences
+
+        # an Arrow-typed empty source (what a parquet read yields)
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.string()),
+             "text": pa.array([], pa.string())}
+        ))
+        out = pack_sequences(ds, seq_len=8)
+        sch = out.schema()
+        assert sch.types[sch.names.index("doc_id")] == pa.string()
+
+    def test_quality_winner_nan_is_worst_and_deterministic(self):
+        base = " ".join(f"q{i} same cluster body text" for i in range(8))
+        df = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [base, base],
+            "quality": [float("nan"), 5.0],
+        })
+        kept = dedup.minhash_dedup(
+            ray.data.from_pandas(df), threshold=0.5, num_perm=64,
+            bands=16, k=3, quality_col="quality",
+        ).to_pandas()
+        assert sorted(kept["doc_id"]) == [2]  # NaN sorts worst, not first
+
+    def test_chunk_and_repetition_match_re2_whitespace(self):
+        from plugin_debezium_ray.functions.packing import chunk_documents
+
+        # NBSP is NOT whitespace to RE2 (Arrow/DuckDB): one token
+        nbsp_doc = "a b c"
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": [1], "text": [nbsp_doc]}))
+        chunks = chunk_documents(ds, chunk_tokens=10).to_pandas()
+        assert chunks["n_chunk_tokens"].tolist() == [2]  # not 3
+        stats = text.repetition_stats_batch(
+            pa.table({"text": [nbsp_doc]}))
+        assert stats["n_distinct_words"].to_pylist() == [2]
+
+    def test_cosine_pairs_exact_empty_input(self):
+        df = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                           "embedding": pd.Series([], dtype="object")})
+        out = dedup.cosine_pairs_exact(
+            ray.data.from_pandas(df), threshold=0.5)
+        assert out.count() == 0
+
+    def test_hash_split_rejects_negative_fraction(self):
+        from plugin_debezium_ray.functions import selection as sel
+
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            sel.hash_split(
+                ray.data.from_pandas(pd.DataFrame({"doc_id": [1]})),
+                {"train": 1.2, "val": -0.2},
+            )
