@@ -1422,7 +1422,9 @@ def cosine_pairs_exact(
         .repartition(target_num_rows_per_block=block_rows)
         .map_batches(prep, batch_format="pyarrow", batch_size=None)
     )
-    refs = prepped.to_arrow_refs()
+    # materialize first: to_arrow_refs() on a lazy Dataset re-executes
+    # the upstream for its internal schema() probe (see smallfetch)
+    refs = prepped.materialize().to_arrow_refs()
     nblocks = len(refs)
     pairs = [
         {"i": i, "j": j} for i in range(nblocks) for j in range(i, nblocks)

@@ -196,7 +196,9 @@ def pack_sequences(
     sch = ds.schema()
     typ = sch.types[sch.names.index(id_col)] if sch is not None else None
     id_type = typ if isinstance(typ, pa.DataType) else pa.int64()
-    refs = counted.sort(id_col).to_arrow_refs()
+    # materialize first: to_arrow_refs() on a lazy Dataset re-executes
+    # the upstream (here: the whole SORT) for its internal schema() probe
+    refs = counted.sort(id_col).materialize().to_arrow_refs()
     totals = ray.get(
         [_block_token_total.remote(r, token_col) for r in refs]
     )

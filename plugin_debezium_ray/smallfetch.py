@@ -21,12 +21,19 @@ import ray
 
 def fetch_small_table(ds: "ray.data.Dataset") -> pa.Table:
     """All rows of a small Dataset as ONE Arrow table (parallel block
-    fetch, one ray.get)."""
-    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    fetch, one ray.get).
+
+    Materializes FIRST: ``to_arrow_refs()`` on a lazy Dataset calls
+    ``schema()`` internally, which spawns a separate limit-1 plan that
+    RE-EXECUTES the whole upstream (measured: doubled the latency of
+    every call site).  On a ``MaterializedDataset`` both the refs and
+    the schema come from the already-computed blocks."""
+    mds = ds.materialize()
+    tabs = [t for t in ray.get(mds.to_arrow_refs()) if t.num_rows]
     if not tabs:
         # fetch_schema may itself be None on a fully-empty dataset
         # (e.g. zero events after the ledger filter) — no rows either way
-        sch = ds.schema()
+        sch = mds.schema()
         if sch is None:
             return pa.table({})
         return pa.table(
