@@ -377,6 +377,7 @@ def run_scaling() -> dict:
             hi = r32
     eff = (lo["sec"] / hi["sec"]) / (32 / 8)
     ceiling = _host_ceiling_eff()
+    bw_ceiling = _host_bw_ceiling_eff()
     return {
         "metric": "replay scaling efficiency (num_cpus 8 vs 32, N→4N stand-in)",
         "sec_8": round(lo["sec"], 3),
@@ -393,6 +394,12 @@ def run_scaling() -> dict:
         "efficiency_vs_ceiling": (
             round(eff / ceiling, 3) if ceiling else None
         ),
+        # same-window MEMORY-BANDWIDTH 8→32 ceiling: co-tenant bandwidth
+        # contention can leave the CPU-burn ceiling at ~1.0 while a
+        # bandwidth-heavy wide job runs 2× slower (measured via a
+        # worktree A/B, BASELINE.md) — a replay-shaped workload needs
+        # BOTH probes near 1.0 before a low efficiency means anything
+        "host_bw_ceiling_eff": bw_ceiling,
         "sf": SF_DIR,
     }
 
@@ -426,6 +433,46 @@ def _host_ceiling_eff() -> float | None:
     try:
         best8 = best32 = 0.0
         for _ in range(2):  # interleaved best-of-2 (adds ~20 s)
+            best8 = max(best8, level(8))
+            best32 = max(best32, level(32))
+        return round(best32 / best8 / 4.0, 3)
+    except Exception:
+        return None
+
+
+def _host_bw_ceiling_eff() -> float | None:
+    """Measured 8→32-process MEMORY-BANDWIDTH speedup / 4 in the
+    CURRENT window: each process streams copies of a cache-busting
+    buffer; the aggregate byte rate is what a shuffle/decode-heavy wide
+    job actually competes for.  Co-tenant bandwidth pressure shows here
+    when the CPU-burn probe still reads ~1.0."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def stream(q, dur):
+        src = np.ones(32 * 1024 * 1024 // 8, dtype=np.float64)  # 32 MB
+        dst = np.empty_like(src)
+        t0 = time.monotonic()
+        n = 0
+        while time.monotonic() - t0 < dur:
+            np.copyto(dst, src)
+            n += src.nbytes
+        q.put(n)
+
+    def level(nproc, dur=4.0):
+        q = mp.Queue()
+        ps = [mp.Process(target=stream, args=(q, dur)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return total / dur
+
+    try:
+        best8 = best32 = 0.0
+        for _ in range(2):
             best8 = max(best8, level(8))
             best32 = max(best32, level(32))
         return round(best32 / best8 / 4.0, 3)
