@@ -750,6 +750,39 @@ def q_ann_ivf_approx(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_join_enrich(sf_dir: str):
+    """Star-schema enrichment with ZERO shuffles on the fact side: two
+    chained broadcast joins (orders ⋈ customer ⋈ nation) then a grouped
+    rollup — the canonical small-side-broadcast plan."""
+    from ray.data.aggregate import Count, Sum
+
+    from plugin_debezium_ray.functions.joins import broadcast_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nation = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    enriched = broadcast_join(
+        broadcast_join(orders, customer, on="o_custkey",
+                       right_on="c_custkey"),
+        nation, on="c_nationkey", right_on="n_nationkey",
+    )
+    out = enriched.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    )
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
 def q_agg_event_stats(sf_dir: str):
     """§2.6 aggregations: grouped count + sum over the event stream."""
     from ray.data.aggregate import Count, Sum
@@ -906,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_approx": q_ann_ivf_approx,
+        "join_enrich": q_join_enrich,
         "agg_event_stats": q_agg_event_stats,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -1153,6 +1187,14 @@ def oracle_sql() -> dict[str, str]:
                        text, '[A-Za-z]+|\\d{1,3}|[^\\sA-Za-z\\d]'
                    )) AS n_bpe_tokens
             FROM documents
+        """,
+        "join_enrich": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
         """,
         "agg_event_stats": """
             SELECT event_type, count(*) AS n,

@@ -1295,3 +1295,45 @@ class TestReviewRegressions:
                 ray.data.from_pandas(pd.DataFrame({"doc_id": [1]})),
                 {"train": 1.2, "val": -0.2},
             )
+
+
+class TestBroadcastJoin:
+    def _sides(self):
+        big = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 2, None], pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 21.0, 99.0]),
+        }))
+        small = ray.data.from_arrow(pa.table({
+            "sk": pa.array([1, 2], pa.int64()),
+            "name": pa.array(["one", "two"]),
+        }))
+        return big, small
+
+    def test_inner_and_left(self):
+        from plugin_debezium_ray.functions.joins import broadcast_join
+
+        big, small = self._sides()
+        inner = (broadcast_join(big, small, on="k", right_on="sk")
+                 .to_pandas().sort_values(["k", "v"]))
+        assert inner["name"].tolist() == ["one", "two", "two"]
+        left = (broadcast_join(big, small, on="k", right_on="sk", how="left")
+                .to_pandas().sort_values(["v"]))
+        # unmatched (k=3) and null-key rows survive with null name
+        assert len(left) == 5
+        assert left[left.v == 30.0]["name"].isna().all()
+        assert left[left.v == 99.0]["name"].isna().all()
+
+    def test_small_side_guard(self):
+        from plugin_debezium_ray.functions.joins import broadcast_join
+
+        big, small = self._sides()
+        with pytest.raises(ValueError, match="small_max_rows"):
+            broadcast_join(big, small, on="k", right_on="sk",
+                           small_max_rows=1).to_pandas()
+
+    def test_bad_how(self):
+        from plugin_debezium_ray.functions.joins import broadcast_join
+
+        big, small = self._sides()
+        with pytest.raises(ValueError, match="how"):
+            broadcast_join(big, small, on="k", right_on="sk", how="outer")
