@@ -266,6 +266,8 @@ def _suite(sf_dir: str) -> dict[str, float]:
         "dedup_exact",
         "dedup_minhash",
         "corpus_prep",
+        "pack_sequences",
+        "join_enrich",
         "text_quality",
         "text_token_count",
         "ann_brute_force",
