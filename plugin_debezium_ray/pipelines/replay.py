@@ -775,12 +775,29 @@ class ReplayJob:
 
     # ------------------------------------------------------- read back
 
-    def read_table(self) -> "ray.data.Dataset":
-        """The committed lake table as a Dataset (manifest-gated files)."""
-        paths = sorted(self.ckpt.bucket_paths().values())
+    def read_table(self, *, version: int | None = None) -> "ray.data.Dataset":
+        """The committed lake table as a Dataset (manifest-gated files).
+
+        ``version=N`` time-travels to that commit's snapshot: each
+        manifest pins its exact bucket files (merged buckets get new
+        ``v{N}`` files, untouched buckets keep their old paths), and
+        ``vacuum`` only deletes files unreferenced by the manifests it
+        keeps — so any retained version reads back byte-exactly."""
+        if version is None:
+            paths = sorted(self.ckpt.bucket_paths().values())
+        else:
+            m = self.ckpt.restore_version(version)
+            paths = sorted(v["path"] for v in m.get("buckets", {}).values())
         if not paths:
             raise FileNotFoundError(f"no committed state under {self.table_dir}")
         return ray.data.read_parquet(paths)
+
+    def versions(self) -> list[int]:
+        """Committed versions still readable for time travel, oldest
+        first (bounded by ``vacuum``'s ``keep_manifests``)."""
+        from plugin_debezium_ray.state.vacuum import list_history
+
+        return [h["version"] for h in list_history(self.table_dir)]
 
     def lineage(self) -> "pd.DataFrame":
         """Per-partition lineage from the committed manifest: one row per

@@ -92,6 +92,27 @@ class CheckpointManager:
             pass
         return self._restore_legacy()
 
+    def restore_version(self, version: int) -> dict:
+        """Time-travel restore: the manifest of an EXPLICIT committed
+        version (``restore()`` follows CURRENT).  Unlike ``restore()``'s
+        tolerant None, an explicitly requested version that is absent —
+        never committed, or GC'd by ``vacuum`` — raises, because the
+        caller named a commit they expect to exist.
+        ``vacuum(keep_manifests=K)`` bounds how far back travel
+        reaches."""
+        path = os.path.join(
+            self.meta_dir, f"manifest-v{int(version):06d}.json"
+        )
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            raise FileNotFoundError(
+                f"no readable manifest for version {version} under "
+                f"{self.meta_dir} (never committed, or vacuumed — keep "
+                "more history via vacuum(keep_manifests=...))"
+            ) from e
+
     def _restore_legacy(self) -> dict | None:
         off_p = os.path.join(self.meta_dir, LEGACY_OFFSETS)
         hist_p = os.path.join(self.meta_dir, LEGACY_HISTORY)

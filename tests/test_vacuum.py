@@ -54,3 +54,48 @@ def test_vacuum_dry_run_and_empty(tmp_path):
     assert n_before == n_after and stats["deleted_files"] > 0
     assert vacuum(str(tmp_path / "nope")) == {
         "deleted_files": 0, "freed_bytes": 0, "kept_files": 0}
+
+
+class TestTimeTravel:
+    """read_table(version=N): every retained commit reads back exactly."""
+
+    def test_each_version_reads_back_exactly(self, tmp_path):
+        import pandas as pd
+        import pytest
+
+        job = ReplayJob(CaptureConfig(num_buckets=4), str(tmp_path))
+        snapshots: dict[int, pd.DataFrame] = {}
+        for i, seed in enumerate((1, 2, 3)):
+            res = job.run(binlog(400, 60, seed=seed, base_lsn=1 + i * 10_000),
+                          ddl_source=False)
+            snapshots[res.version] = (
+                job.read_table().to_pandas()
+                .sort_values(["repo", "path"]).reset_index(drop=True)
+            )
+        assert job.versions() == [1, 2, 3]
+        # time travel: every historical version equals its as-of snapshot
+        for v, want in snapshots.items():
+            got = (job.read_table(version=v).to_pandas()
+                   .sort_values(["repo", "path"]).reset_index(drop=True))
+            assert got.equals(want), f"version {v} drifted"
+        # the middle version genuinely differs from the tip
+        assert not snapshots[1].equals(snapshots[3])
+        # default read == newest version
+        assert (job.read_table().to_pandas()
+                .sort_values(["repo", "path"]).reset_index(drop=True)
+                .equals(snapshots[3]))
+        with pytest.raises(FileNotFoundError, match="version 9"):
+            job.read_table(version=9)
+
+    def test_vacuum_bounds_travel(self, tmp_path):
+        import pytest
+
+        job = _three_commits(tmp_path)
+        assert job.versions() == [1, 2, 3]
+        vacuum(str(tmp_path), keep_manifests=2)
+        assert job.versions() == [2, 3]
+        # retained version still reads (its files were kept)...
+        assert job.read_table(version=2).count() > 0
+        # ...the vacuumed one raises with the recovery hint
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            job.read_table(version=1)
