@@ -145,6 +145,23 @@ def cmd_lineage(args) -> dict:
     }
 
 
+def cmd_history(args) -> dict:
+    """Committed versions still readable for time travel (one line per
+    retained manifest) — pair with ``read_table(version=N)``."""
+    from plugin_debezium_ray.state.vacuum import list_history
+
+    # manifest reads only — no Ray session needed
+    return {
+        "command": "history",
+        "lake": args.lake,
+        "versions": [
+            {k: h[k] for k in
+             ("version", "parent", "events_applied", "buckets")}
+            for h in list_history(args.lake)
+        ],
+    }
+
+
 def cmd_vacuum(args) -> dict:
     from plugin_debezium_ray.state.vacuum import vacuum
 
@@ -203,6 +220,10 @@ def main(argv: list[str] | None = None) -> int:
     lp = sub.add_parser("lineage", help="per-bucket lineage of a lake")
     lp.add_argument("--lake", required=True)
     lp.set_defaults(fn=cmd_lineage)
+
+    hp = sub.add_parser("history", help="retained commit versions of a lake")
+    hp.add_argument("--lake", required=True)
+    hp.set_defaults(fn=cmd_history)
 
     vp = sub.add_parser("vacuum", help="GC old commits of a lake")
     vp.add_argument("--lake", required=True)

@@ -120,3 +120,13 @@ class TestCli:
         assert df["bucket"].is_monotonic_increasing
         # offsets are high-water marks: max last_lsn == max WAL lsn seen
         assert df["last_lsn"].max() >= 1
+
+
+def test_history_command(capsys, tmp_path, wal_and_snap):
+    wal, snap = wal_and_snap
+    lake = str(tmp_path / "lake_hist")
+    run_cli(capsys, "replay", "--wal", wal, "--lake", lake,
+            "--snapshot", snap, "--num-buckets", "8")
+    hist = run_cli(capsys, "history", "--lake", lake)
+    assert [v["version"] for v in hist["versions"]] == [1]
+    assert hist["versions"][0]["buckets"] > 0
