@@ -750,6 +750,22 @@ def q_ann_ivf_approx(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_agg_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct-document count: one streaming
+    pass, no shuffle, 16 KiB of state per block (the sketch path an
+    exact count(distinct) can't take at 100 TB)."""
+    import pandas as pd
+
+    from plugin_debezium_ray.functions.sketches import approx_count_distinct
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return pd.DataFrame(
+        {"n_distinct_estimate": [approx_count_distinct(ds, "text", p=14)]}
+    )
+
+
 def q_join_enrich(sf_dir: str):
     """Star-schema enrichment with ZERO shuffles on the fact side: two
     chained broadcast joins (orders ⋈ customer ⋈ nation) then a grouped
@@ -940,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_approx": q_ann_ivf_approx,
         "join_enrich": q_join_enrich,
+        "agg_approx_distinct": q_agg_approx_distinct,
         "agg_event_stats": q_agg_event_stats,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,

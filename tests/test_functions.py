@@ -1337,3 +1337,40 @@ class TestBroadcastJoin:
         big, small = self._sides()
         with pytest.raises(ValueError, match="how"):
             broadcast_join(big, small, on="k", right_on="sk", how="outer")
+
+
+class TestSketches:
+    def test_hll_error_bound_and_merge(self):
+        from plugin_debezium_ray.functions import sketches as sk
+
+        rng = np.random.default_rng(11)
+        n_distinct = 50_000
+        vals = [f"value-{i}" for i in rng.integers(0, n_distinct, 120_000)]
+        exact = len(set(vals))
+        # direct register math: error within 3 standard errors (p=14)
+        regs = sk.hll_accumulate(
+            np.zeros(1 << 14, dtype=np.uint8), np.array(vals, object), 14
+        )
+        est = sk.hll_estimate(regs)
+        assert abs(est - exact) / exact < 3 * 1.04 / np.sqrt(1 << 14)
+        # merge associativity: two half-folds maxed == one full fold
+        half_a = sk.hll_accumulate(
+            np.zeros(1 << 14, dtype=np.uint8),
+            np.array(vals[:60_000], object), 14)
+        half_b = sk.hll_accumulate(
+            np.zeros(1 << 14, dtype=np.uint8),
+            np.array(vals[60_000:], object), 14)
+        assert np.array_equal(np.maximum(half_a, half_b), regs)
+
+    def test_hll_dataset_aggregate_matches_direct(self):
+        from plugin_debezium_ray.functions import sketches as sk
+
+        vals = [f"doc-{i % 700}" for i in range(5_000)] + [None] * 50
+        ds = ray.data.from_pandas(pd.DataFrame({"text": vals})).repartition(7)
+        est = sk.approx_count_distinct(ds, "text", p=14)
+        regs = sk.hll_accumulate(
+            np.zeros(1 << 14, dtype=np.uint8), np.array(vals, object), 14
+        )
+        # distributed tree-merge == single-threaded fold, exactly
+        assert est == int(round(sk.hll_estimate(regs)))
+        assert abs(est - 700) / 700 < 0.05

@@ -97,3 +97,10 @@ def test_minhash_quality_survivors_golden():
     want = _golden("dedup_minhash_quality")
     out = _queries()["dedup_minhash_quality"](SF_DIR).to_pandas()
     assert sorted(out["doc_id"].tolist()) == want
+
+
+def test_approx_distinct_golden():
+    """HLL estimate is a pure function of the data + hash — pinned."""
+    want = _golden("agg_approx_distinct")
+    out = _queries()["agg_approx_distinct"](SF_DIR)
+    assert [int(out["n_distinct_estimate"].iloc[0])] == want

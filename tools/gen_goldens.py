@@ -46,6 +46,10 @@ def main() -> None:
         "dedup_minhash": sorted(
             qs["dedup_minhash"](SF_DIR).to_pandas()["doc_id"].tolist()
         ),
+        "agg_approx_distinct": [
+            int(qs["agg_approx_distinct"](SF_DIR)
+                ["n_distinct_estimate"].iloc[0])
+        ],
         "dedup_minhash_quality": sorted(
             qs["dedup_minhash_quality"](SF_DIR).to_pandas()["doc_id"].tolist()
         ),
