@@ -750,6 +750,21 @@ def q_ann_ivf_approx(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_ann_quantize(sf_dir: str):
+    """int8 scalar quantization of the embedding table (per-vector
+    scale + checksums; trunc semantics match SQL bit-for-bit)."""
+    from plugin_debezium_ray.functions.ann import quantize_embeddings
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = quantize_embeddings(ds)
+    return out.select_columns(
+        ["vec_id", "scale", "q_sum", "q_min", "q_max"]
+    )
+
+
 def q_agg_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct-document count: one streaming
     pass, no shuffle, 16 KiB of state per block (the sketch path an
@@ -956,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_approx": q_ann_ivf_approx,
         "join_enrich": q_join_enrich,
+        "ann_quantize": q_ann_quantize,
         "agg_approx_distinct": q_agg_approx_distinct,
         "agg_event_stats": q_agg_event_stats,
         "window_tumbling": q_window_tumbling,
@@ -1204,6 +1220,26 @@ def oracle_sql() -> dict[str, str]:
                        text, '[A-Za-z]+|\\d{1,3}|[^\\sA-Za-z\\d]'
                    )) AS n_bpe_tokens
             FROM documents
+        """,
+        "ann_quantize": """
+            WITH s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS s
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id, s AS scale,
+                     list_transform(
+                       v, x -> CAST(trunc(x * 127 /
+                                          CASE WHEN s = 0 THEN 1 ELSE s END)
+                                    AS TINYINT)) AS q
+              FROM s
+            )
+            SELECT vec_id, scale,
+                   CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+                   CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
+                   CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max
+            FROM q
         """,
         "join_enrich": """
             SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,

@@ -366,3 +366,57 @@ def ivf_topk(
 
     probed = ds.map_batches(filter_probed, batch_format="pyarrow")
     return brute_force_topk(probed, queries, k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------------- quantization
+
+
+def quantize_embeddings(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Per-vector int8 scalar quantization: ``q = trunc(x · 127 / s)``
+    with ``s = max(|x|)`` — the standard 4×-compression step before an
+    ANN index ships vectors across a cluster (cosine ranking is
+    preserved to ~1% at dim ≥ 64).  Returns
+    ``(id, scale, q: list<int8>, q_sum, q_min, q_max)`` — the checksum
+    columns make the op SQL-verifiable without comparing list columns.
+
+    trunc (not round) on float64 math: numpy and SQL engines agree on
+    trunc bit-for-bit, while round-half-to-even vs half-away would
+    diverge on exact .5 products.  Zero vectors quantize to zeros.
+    Embarrassingly parallel per-batch map — no shuffle, no state."""
+
+    def quant(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], t[id_col].type),
+                 "scale": pa.array([], pa.float64()),
+                 "q": pa.array([], pa.list_(pa.int8())),
+                 "q_sum": pa.array([], pa.int64()),
+                 "q_min": pa.array([], pa.int64()),
+                 "q_max": pa.array([], pa.int64())}
+            )
+        vecs = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        s = np.abs(vecs).max(axis=1)
+        safe = np.where(s == 0.0, 1.0, s)
+        q = np.trunc(vecs * 127.0 / safe[:, None]).astype(np.int8)
+        q[s == 0.0] = 0
+        n, dim = q.shape
+        q_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(q.reshape(-1)), dim
+        ).cast(pa.list_(pa.int8()))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "scale": pa.array(s),
+                "q": q_arr,
+                "q_sum": pa.array(q.sum(axis=1, dtype=np.int64)),
+                "q_min": pa.array(q.min(axis=1).astype(np.int64)),
+                "q_max": pa.array(q.max(axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")

@@ -1374,3 +1374,39 @@ class TestSketches:
         # distributed tree-merge == single-threaded fold, exactly
         assert est == int(round(sk.hll_estimate(regs)))
         assert abs(est - 700) / 700 < 0.05
+
+    def test_quantize_embeddings(self):
+        from plugin_debezium_ray.functions.ann import quantize_embeddings
+
+        vecs = [[0.5, -0.25, 1.0], [0.0, 0.0, 0.0], [-2.0, 1.0, 0.5]]
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": [1, 2, 3], "embedding": vecs}))
+        out = quantize_embeddings(ds).to_pandas().sort_values("vec_id")
+        got_q = [list(map(int, v)) for v in out["q"]]
+        assert got_q[0] == [63, -31, 127]
+        assert got_q[1] == [0, 0, 0]  # zero vector → zeros
+        assert got_q[2] == [-127, 63, 31]
+        assert out["scale"].tolist() == [1.0, 0.0, 2.0]
+        assert out["q_sum"].tolist() == [159, 0, -33]
+
+    def test_quantize_preserves_cosine_ranking(self):
+        from plugin_debezium_ray.functions.ann import quantize_embeddings
+
+        rng = np.random.default_rng(5)
+        n, dim = 200, 64
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "vec_id": np.arange(n),
+            "embedding": [v.tolist() for v in vecs]}))
+        out = quantize_embeddings(ds).to_pandas().sort_values("vec_id")
+        q = np.stack(out["q"].to_numpy()).astype(np.float64)
+        f = vecs.astype(np.float64)
+        def top10(m, i):
+            sims = (m @ m[i]) / (np.linalg.norm(m, axis=1)
+                                 * np.linalg.norm(m[i]) + 1e-12)
+            order = np.argsort(-sims)
+            return [j for j in order if j != i][:10]
+        # int8 cosine top-10 overlaps float top-10 heavily
+        overlaps = [len(set(top10(q, i)) & set(top10(f, i)))
+                    for i in range(20)]
+        assert np.mean(overlaps) >= 8.0
