@@ -659,6 +659,40 @@ def q_decontaminate(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def q_cdc_corpus_prep(sf_dir: str):
+    """The two halves of the engine composed end-to-end: envelope-wrap
+    the documents table (op=c per row), run the FULL keyed CDC apply
+    into a lake, read the committed table back, and run the
+    training-data prep pipeline over it.  Pure inserts on unique keys
+    make the apply an identity, so the direct-SQL corpus_prep oracle
+    checks the whole wrap→decode→apply→commit→read-back→prep chain."""
+    from plugin_debezium_ray.pipelines.corpus import corpus_prep
+    from plugin_debezium_ray.sources.from_table import envelopes_from_table
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    env = envelopes_from_table(
+        docs,
+        key_cols=("doc_id",),
+        lsn_col="doc_id",
+        payload_cols=["doc_id", "text", "lang"],
+        default_op="c",
+        table="documents",
+    )
+    with tempfile.TemporaryDirectory(prefix="cprep_", dir="/tmp") as d:
+        job = ReplayJob(
+            CaptureConfig(key_cols=("doc_id",), num_buckets=8),
+            os.path.join(d, "lake"),
+            fingerprint_col="text",
+        )
+        job.run(env)
+        lake = job.read_table().select_columns(["doc_id", "text", "lang"])
+        # consume before the lake dir is cleaned up (tiny result)
+        return corpus_prep(lake, min_tokens=5, max_punct_ratio=0.2).to_pandas()
+
+
 def q_corpus_prep(sf_dir: str):
     """Composite training-data prep: quality gate → normalized exact
     dedup → per-language corpus stats, one lazy pipeline."""
@@ -952,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_cosine_exact": q_dedup_cosine_exact,
         "corpus_prep": q_corpus_prep,
+        "cdc_corpus_prep": q_cdc_corpus_prep,
         "split_hash": q_split_hash,
         "sample_stratified": q_sample_stratified,
         "text_redact": q_text_redact,
@@ -1177,6 +1212,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "corpus_prep": """
+            WITH m AS (
+              SELECT doc_id, lang, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio
+              FROM documents WHERE text IS NOT NULL
+            ), gated AS (
+              SELECT * FROM m WHERE n_tokens >= 5 AND punct_ratio <= 0.2
+            ), kept AS (
+              SELECT min(doc_id) AS doc_id FROM gated
+              GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+            )
+            SELECT g.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens
+            FROM gated g JOIN kept k ON g.doc_id = k.doc_id
+            GROUP BY g.lang
+        """,
+        "cdc_corpus_prep": """
             WITH m AS (
               SELECT doc_id, lang, text,
                      CASE WHEN trim(text) = '' THEN 0
