@@ -687,7 +687,9 @@ def q_cdc_corpus_prep(sf_dir: str):
             os.path.join(d, "lake"),
             fingerprint_col="text",
         )
-        job.run(env)
+        # ddl_source=False: envelopes_from_table never emits DDL, and
+        # the default DDL scan would re-execute the whole wrap pipeline
+        job.run(env, ddl_source=False)
         lake = job.read_table().select_columns(["doc_id", "text", "lang"])
         # consume before the lake dir is cleaned up (tiny result)
         return corpus_prep(lake, min_tokens=5, max_punct_ratio=0.2).to_pandas()
@@ -1016,6 +1018,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_CORPUS_PREP_SQL = """
+            WITH m AS (
+              SELECT doc_id, lang, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio
+              FROM documents WHERE text IS NOT NULL
+            ), gated AS (
+              SELECT * FROM m WHERE n_tokens >= 5 AND punct_ratio <= 0.2
+            ), kept AS (
+              SELECT min(doc_id) AS doc_id FROM gated
+              GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+            )
+            SELECT g.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens
+            FROM gated g JOIN kept k ON g.doc_id = k.doc_id
+            GROUP BY g.lang
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_inline_decode": """
@@ -1211,46 +1235,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
-        "corpus_prep": """
-            WITH m AS (
-              SELECT doc_id, lang, text,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                     END AS n_tokens,
-                     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-                       / greatest(length(text), 1) AS punct_ratio
-              FROM documents WHERE text IS NOT NULL
-            ), gated AS (
-              SELECT * FROM m WHERE n_tokens >= 5 AND punct_ratio <= 0.2
-            ), kept AS (
-              SELECT min(doc_id) AS doc_id FROM gated
-              GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-            )
-            SELECT g.lang, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens
-            FROM gated g JOIN kept k ON g.doc_id = k.doc_id
-            GROUP BY g.lang
-        """,
-        "cdc_corpus_prep": """
-            WITH m AS (
-              SELECT doc_id, lang, text,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                     END AS n_tokens,
-                     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-                       / greatest(length(text), 1) AS punct_ratio
-              FROM documents WHERE text IS NOT NULL
-            ), gated AS (
-              SELECT * FROM m WHERE n_tokens >= 5 AND punct_ratio <= 0.2
-            ), kept AS (
-              SELECT min(doc_id) AS doc_id FROM gated
-              GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-            )
-            SELECT g.lang, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens
-            FROM gated g JOIN kept k ON g.doc_id = k.doc_id
-            GROUP BY g.lang
-        """,
+        "corpus_prep": _CORPUS_PREP_SQL,
+        # the apply is an identity (pure inserts, unique keys):
+        # the SAME SQL checks the whole CDC chain
+        "cdc_corpus_prep": _CORPUS_PREP_SQL,
         "text_token_count": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -15,6 +15,7 @@ Commands:
   follow   watch a WAL directory, commit each arrival batch until idle
   capture  WAL parquet segments → per-stream files (parquet/jsonl/ion)
   lineage  committed per-bucket lineage of a lake table
+  history  retained commit versions of a lake (time-travel horizon)
   vacuum   GC old commit versions / unreferenced data files
 """
 

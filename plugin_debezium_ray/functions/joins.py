@@ -33,9 +33,10 @@ def _join_batch(t: pa.Table, small_ref, keys, right_keys,
     """Stateless task: ``ray.get`` of an Arrow table is a ZERO-COPY
     plasma mmap (cached per node after the first fetch), so fetching the
     broadcast side per task costs microseconds — cheaper than paying
-    actor-pool spin-up per pipeline (measured: ~1 s/pool)."""
-    if t.num_rows == 0:
-        return t
+    actor-pool spin-up per pipeline (measured: ~1 s/pool).  Empty
+    batches go through the join too: Arrow yields the JOINED schema for
+    an empty left table, while short-circuiting would emit blocks with
+    the pre-join schema mixed into the stream."""
     return t.join(
         ray.get(small_ref),
         keys=keys,

@@ -92,5 +92,8 @@ def approx_count_distinct(
         merge=lambda a, b: np.maximum(a, b),
         name="hll",
     )
-    regs = ds.aggregate(agg)["hll"]
+    out = ds.aggregate(agg)
+    if out is None:  # Ray 2.49: aggregate over an empty dataset
+        return 0
+    regs = out["hll"]
     return int(round(hll_estimate(np.asarray(regs, dtype=np.uint8))))

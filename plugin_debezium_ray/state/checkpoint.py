@@ -99,7 +99,16 @@ class CheckpointManager:
         never committed, or GC'd by ``vacuum`` — raises, because the
         caller named a commit they expect to exist.
         ``vacuum(keep_manifests=K)`` bounds how far back travel
-        reaches."""
+        reaches.  Versions beyond the CURRENT pointer are torn writes
+        (save() crashed before the flip), not commits — the next run
+        overwrites that number with different data — so they raise
+        too."""
+        if int(version) > self.current_version():
+            raise FileNotFoundError(
+                f"version {version} was never committed under "
+                f"{self.meta_dir} (beyond the CURRENT pointer; a "
+                "manifest file there is a torn write, not a commit)"
+            )
         path = os.path.join(
             self.meta_dir, f"manifest-v{int(version):06d}.json"
         )

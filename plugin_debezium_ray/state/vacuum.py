@@ -18,14 +18,33 @@ import os
 from plugin_debezium_ray.state.checkpoint import CheckpointManager
 
 
+def _committed_horizon(table_dir: str) -> int:
+    """The CURRENT pointer's version, or 0 when nothing is committed.
+    A manifest file ABOVE this horizon is a torn write (save() crashed
+    between the manifest write and the CURRENT flip) — never a commit:
+    the next successful run will overwrite that version number with
+    different data, so exposing it as history would let 'version N'
+    denote two different snapshots."""
+    try:
+        with open(os.path.join(table_dir, "_meta", "CURRENT")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
 def list_history(table_dir: str) -> list[dict]:
-    """All committed manifests, oldest first: version, events, buckets."""
+    """All COMMITTED manifests, oldest first: version, events, buckets.
+    Torn manifests beyond the CURRENT pointer are excluded (see
+    ``_committed_horizon``)."""
+    horizon = _committed_horizon(table_dir)
     out = []
     for p in sorted(glob.glob(os.path.join(table_dir, "_meta", "manifest-v*.json"))):
         try:
             with open(p) as f:
                 m = json.load(f)
         except (OSError, json.JSONDecodeError):
+            continue
+        if int(m.get("version", 0)) > horizon:
             continue
         out.append(
             {

@@ -1410,3 +1410,23 @@ class TestSketches:
         overlaps = [len(set(top10(q, i)) & set(top10(f, i)))
                     for i in range(20)]
         assert np.mean(overlaps) >= 8.0
+
+    def test_broadcast_join_empty_block_keeps_joined_schema(self):
+        from plugin_debezium_ray.functions.joins import broadcast_join
+
+        big, small = TestBroadcastJoin()._sides()
+        # one block filters to zero rows, another keeps rows: every
+        # UDF-produced block must carry the JOINED schema (a short-
+        # circuit would mix pre-join-schema blocks into the stream)
+        mixed = big.repartition(5).filter(expr="v == 20.0")
+        out = broadcast_join(mixed, small, on="k", right_on="sk",
+                             how="left").to_pandas()
+        assert list(out.columns) == ["k", "v", "name"]
+        assert out["name"].tolist() == ["two"]
+
+    def test_hll_empty_dataset_is_zero(self):
+        from plugin_debezium_ray.functions import sketches as sk
+
+        ds = ray.data.from_pandas(pd.DataFrame({"text": ["a", "b"]}))
+        assert sk.approx_count_distinct(
+            ds.filter(expr="text == 'nope'"), "text") == 0

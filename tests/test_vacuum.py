@@ -99,3 +99,24 @@ class TestTimeTravel:
         # ...the vacuumed one raises with the recovery hint
         with pytest.raises(FileNotFoundError, match="vacuumed"):
             job.read_table(version=1)
+
+
+def test_torn_manifest_is_not_history(tmp_path):
+    """A manifest written without the CURRENT flip (the save() crash
+    window) is a torn write, not a commit: invisible to versions()/
+    list_history, and restore_version refuses it — the next run will
+    overwrite that version number with different data."""
+    import json
+
+    import pytest
+
+    job = _three_commits(tmp_path)
+    meta = os.path.join(str(tmp_path), "_meta")
+    # simulate the crash: manifest v4 on disk, CURRENT still at 3
+    with open(os.path.join(meta, "manifest-v000004.json"), "w") as f:
+        json.dump({"version": 4, "parent": 3, "buckets": {}}, f)
+    assert job.versions() == [1, 2, 3]
+    assert [h["version"] for h in list_history(str(tmp_path))] == [1, 2, 3]
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        job.read_table(version=4)
+    assert job.ckpt.current_version() == 3
