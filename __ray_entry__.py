@@ -604,6 +604,32 @@ def q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, chunk_tokens=32, overlap=8)
 
 
+def q_top_k_by_group(sf_dir: str):
+    """Grouped top-k (partials-first, no global sort): the 5 longest
+    documents per language, ties to the lower doc_id."""
+    from plugin_debezium_ray.functions.ranking import grouped_top_k
+    from plugin_debezium_ray.functions.text import token_count_batch
+
+    import pyarrow.compute as pc
+
+    def counted(t):
+        c = token_count_batch(t)
+        # null text counts as 0 tokens, matching the oracle's CASE
+        return c.set_column(
+            c.schema.get_field_index("n_tokens"), "n_tokens",
+            pc.fill_null(c["n_tokens"], 0),
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    ).map_batches(counted, batch_format="pyarrow")
+    out = grouped_top_k(
+        ds, group_col="lang", score_col="n_tokens", id_col="doc_id", k=5
+    )
+    return out.select_columns(["doc_id", "lang", "n_tokens"])
+
+
 def q_text_redact(sf_dir: str):
     """Pattern scrubbing over the customer names (the long digit runs
     stand in for account ids): RE2 rewrite + per-row match count."""
@@ -993,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q_sample_stratified,
         "text_redact": q_text_redact,
         "text_repetition": q_text_repetition,
+        "top_k_by_group": q_top_k_by_group,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "decontaminate": q_decontaminate,
@@ -1198,6 +1225,22 @@ def oracle_sql() -> dict[str, str]:
                      AS last_seq,
                    CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "top_k_by_group": """
+            WITH tc AS (
+              SELECT doc_id, lang,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang, n_tokens,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM tc
+            )
+            SELECT doc_id, lang, n_tokens FROM r WHERE rn <= 5
         """,
         "text_redact": """
             SELECT c_custkey,

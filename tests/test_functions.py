@@ -1430,3 +1430,44 @@ class TestSketches:
         ds = ray.data.from_pandas(pd.DataFrame({"text": ["a", "b"]}))
         assert sk.approx_count_distinct(
             ds.filter(expr="text == 'nope'"), "text") == 0
+
+
+class TestGroupedTopK:
+    def test_matches_window_reference(self):
+        from plugin_debezium_ray.functions.ranking import grouped_top_k
+
+        rng = np.random.default_rng(9)
+        n = 3000
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], n),
+            "score": rng.integers(0, 50, n),  # heavy ties
+        })
+        out = (grouped_top_k(
+                   ray.data.from_pandas(df).repartition(11),
+                   group_col="lang", score_col="score",
+                   id_col="doc_id", k=7)
+               .to_pandas().sort_values(["lang", "doc_id"])
+               .reset_index(drop=True))
+        # reference: pandas window (score desc, id asc)
+        ref = (df.sort_values(["score", "doc_id"],
+                              ascending=[False, True], kind="stable")
+               .groupby("lang", sort=False).head(7)
+               .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+        assert out[["doc_id", "lang", "score"]].equals(
+            ref[["doc_id", "lang", "score"]])
+
+    def test_small_group_and_ascending(self):
+        from plugin_debezium_ray.functions.ranking import grouped_top_k
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3], "lang": ["en", "en", "fr"],
+            "score": [5, 9, 1],
+        })
+        out = grouped_top_k(
+            ray.data.from_pandas(df), group_col="lang",
+            score_col="score", id_col="doc_id", k=2, ascending=True,
+        ).to_pandas()
+        got = sorted(zip(out["lang"], out["doc_id"]))
+        # fr has fewer than k rows — all survive; ascending keeps lowest
+        assert got == [("en", 1), ("en", 2), ("fr", 3)]
