@@ -42,6 +42,7 @@ def chunk_documents(
     overlap: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    preserve_whitespace: bool = False,
 ) -> "ray.data.Dataset":
     """Split every document into overlapping token-window chunks (the
     RAG / long-context preprocessing step): windows of ``chunk_tokens``
@@ -51,10 +52,17 @@ def chunk_documents(
 
     Embarrassingly parallel flat-map — no shuffle, no state; chunk ids
     are per-document, so the op is deterministic under any partitioning.
-    Tokenization is ``trim + split on whitespace runs`` (texts
-    reassemble with single spaces), mirroring the SQL oracle's
-    ``array_to_string(w[i·s+1 : i·s+c], ' ')``.  Null / empty docs emit
-    no chunks."""
+    Tokenization is ``trim + split on whitespace runs``; by default
+    chunk text reassembles with single spaces, mirroring the SQL
+    oracle's ``array_to_string(w[i·s+1 : i·s+c], ' ')``.  With
+    ``preserve_whitespace=True`` each chunk is a RAW SLICE of the
+    original text from its first token's start to its last token's end
+    (inner whitespace kept byte-exact — what a RAG pipeline usually
+    wants).  Null / empty docs emit no chunks.
+
+    Per doc the text is materialized at most once (the single-space
+    join) and every chunk is a string SLICE via token char offsets —
+    overlapping windows never re-join their shared tokens."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
@@ -74,14 +82,36 @@ def chunk_documents(
         for did, tx in zip(ids, t[text_col].to_pylist()):
             if tx is None:
                 continue
-            toks = word_re.findall(tx)
-            n = len(toks)
+            if preserve_whitespace:
+                spans = [m.span() for m in word_re.finditer(tx)]
+                n = len(spans)
+                if n == 0:
+                    continue
+                starts = np.fromiter(
+                    (s for s, _ in spans), dtype=np.int64, count=n
+                )
+                ends = np.fromiter(
+                    (e for _, e in spans), dtype=np.int64, count=n
+                )
+                src = tx
+            else:
+                toks = word_re.findall(tx)
+                n = len(toks)
+                if n == 0:
+                    continue
+                lens = np.fromiter(map(len, toks), dtype=np.int64, count=n)
+                # char offset of token j in the normalized text is the
+                # running sum of (len + 1 separator space)
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1] + 1, out=starts[1:])
+                ends = starts + lens
+                src = " ".join(toks)
             for ci, s in enumerate(range(0, n, stride)):
-                piece = toks[s : s + chunk_tokens]
+                e = min(s + chunk_tokens, n)
                 ids_out.append(did)
                 chunk_ids.append(ci)
-                sizes.append(len(piece))
-                texts_out.append(" ".join(piece))
+                sizes.append(e - s)
+                texts_out.append(src[starts[s] : ends[e - 1]])
         return pa.table(
             {
                 id_col: pa.array(ids_out, type=t[id_col].type),

@@ -143,10 +143,21 @@ def _doc_gram_lanes(
     """Per-batch DISTINCT word-k-grams, two independent 64-bit hash
     lanes: returns (doc_index_repeat, h0, h1).  Tokenization mirrors the
     SQL oracle (lowercase, split on whitespace runs); docs with < k
-    words contribute nothing."""
-    grams: list[str] = []
-    counts: list[int] = []
+    words contribute nothing.
+
+    Vectorized like ``dedup._batch_shingles``: every TOKEN of the batch
+    is hashed in two ``pd.util.hash_array`` calls (two independent
+    SipHash keys — true 128-bit lanes), then k-gram hashes are ROLLED
+    over the token-hash arrays with splitmix64 (O(k) vector ops per
+    batch) instead of materializing per-doc gram-string sets.  Both the
+    benchmark and corpus sides go through this same function, so
+    membership is preserved: equal gram word-sequences hash equal,
+    unequal ones collide only at 2⁻¹²⁸ scale."""
+    from plugin_debezium_ray.sources.rand import splitmix64
+
+    tokens: list[str] = []
     rows: list[int] = []
+    tok_counts: list[int] = []
     wre = _word_re()
     for i, tx in enumerate(texts):
         if tx is None:
@@ -154,18 +165,40 @@ def _doc_gram_lanes(
         toks = wre.findall(tx.lower())
         if len(toks) < k:
             continue
-        gs = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
-        grams.extend(gs)
-        counts.append(len(gs))
+        tokens.extend(toks)
         rows.append(i)
+        tok_counts.append(len(toks))
     if not rows:
         e = np.empty(0, dtype=np.uint64)
         return np.empty(0, dtype=np.int64), e, e
-    obj = np.array(grams, dtype=object)
-    h0 = pd.util.hash_array(obj)
-    h1 = pd.util.hash_array(obj, hash_key=_DECON_HASH_KEY)
-    doc_idx = np.repeat(np.asarray(rows, dtype=np.int64), counts)
-    return doc_idx, h0, h1
+    obj = np.array(tokens, dtype=object)
+    th0 = pd.util.hash_array(obj)
+    th1 = pd.util.hash_array(obj, hash_key=_DECON_HASH_KEY)
+
+    tc = np.asarray(tok_counts, dtype=np.int64)
+    gcounts = tc - k + 1  # ≥ 1 by the len(toks) >= k filter above
+    toff = np.concatenate([[0], np.cumsum(tc)[:-1]])
+    goff = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
+    total = int(gcounts.sum())
+    # gram j of doc d starts at token toff[d] + j — segmented arange
+    gpos = np.repeat(toff, gcounts) + (
+        np.arange(total, dtype=np.int64) - np.repeat(goff, gcounts)
+    )
+    h0 = th0[gpos]  # fancy indexing already copies
+    h1 = th1[gpos]
+    for j in range(1, k):
+        h0 = splitmix64(h0 ^ th0[gpos + j])
+        h1 = splitmix64(h1 ^ th1[gpos + j])
+    doc_idx = np.repeat(np.asarray(rows, dtype=np.int64), gcounts)
+
+    # DISTINCT grams per doc (overlap counting is set-based): lexsort by
+    # (doc, h0, h1), keep run heads
+    order = np.lexsort((h1, h0, doc_idx))
+    di, s0, s1 = doc_idx[order], h0[order], h1[order]
+    keep = np.empty(len(order), dtype=bool)
+    keep[0] = True
+    keep[1:] = (di[1:] != di[:-1]) | (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])
+    return di[keep], s0[keep], s1[keep]
 
 
 def benchmark_gram_hashes(

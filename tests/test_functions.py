@@ -1225,6 +1225,30 @@ class TestChunking:
         with pytest.raises(ValueError):
             chunk_documents(ds, chunk_tokens=4, overlap=4)
 
+    def test_preserve_whitespace_raw_spans(self):
+        from plugin_debezium_ray.functions.packing import chunk_documents
+
+        # raw-span mode keeps inner whitespace byte-exact and trims
+        # only OUTSIDE the first/last token of each chunk
+        doc = "  aa   bb\tcc  \n dd "
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2, 3], "text": [doc, "   \t ", None],
+        }))
+        out = (chunk_documents(ds, chunk_tokens=2, overlap=1,
+                               preserve_whitespace=True)
+               .to_pandas().sort_values(["doc_id", "chunk_id"]))
+        assert out["doc_id"].tolist() == [1, 1, 1, 1]  # blank/null: none
+        assert out["chunk_text"].tolist() == [
+            "aa   bb", "bb\tcc", "cc  \n dd", "dd",
+        ]
+        assert out["n_chunk_tokens"].tolist() == [2, 2, 2, 1]
+        # normalized mode over the same doc reassembles single-spaced
+        norm = (chunk_documents(ds, chunk_tokens=2, overlap=1)
+                .to_pandas().sort_values(["doc_id", "chunk_id"]))
+        assert norm["chunk_text"].tolist() == [
+            "aa bb", "bb cc", "cc dd", "dd",
+        ]
+
 
 class TestReviewRegressions:
     """Pins for the round-3 self-review findings."""
