@@ -789,26 +789,34 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_ann_ivf_approx(sf_dir: str):
-    """IVF in APPROXIMATE mode (nprobe=2 of 8 clusters) against the
-    persisted index, reporting per-query recall@10 vs the brute-force
-    truth — the accuracy/probe-cost trade is the observable."""
+    """IVF recall-vs-nprobe curve: probe 1/2/4/8 of the 8 clusters
+    against the SAME persisted index, reporting per-(nprobe, query)
+    recall@10 vs the brute-force truth — the accuracy/probe-cost trade
+    as data (recall is monotone in nprobe and reaches 1.0 at
+    nprobe = n_clusters, where IVF degenerates to exact search)."""
     import pandas as pd
 
     from plugin_debezium_ray.functions.ann import brute_force_topk, ivf_topk
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries = _first_queries(sf_dir)
-    approx = ivf_topk(
-        ds, queries, k=10, n_clusters=8, nprobe=2,
-        index_dir=_ivf_index_dir(sf_dir, 8),
-    )
-    truth = brute_force_topk(ds, queries, k=10)
+    truth = {
+        int(qid): set(grp["vec_id"])
+        for qid, grp in brute_force_topk(ds, queries, k=10).groupby("query_id")
+    }
     rows = []
-    for qid, grp in truth.groupby("query_id"):
-        want = set(grp["vec_id"])
-        got = set(approx[approx["query_id"] == qid]["vec_id"])
-        rows.append({"query_id": int(qid),
-                     "recall_at_10": len(want & got) / len(want)})
+    for nprobe in (1, 2, 4, 8):
+        approx = ivf_topk(
+            ds, queries, k=10, n_clusters=8, nprobe=nprobe,
+            index_dir=_ivf_index_dir(sf_dir, 8),
+        )
+        for qid, want in truth.items():
+            got = set(approx[approx["query_id"] == qid]["vec_id"])
+            rows.append({
+                "nprobe": nprobe,
+                "query_id": qid,
+                "recall_at_10": len(want & got) / len(want),
+            })
     return pd.DataFrame(rows)
 
 

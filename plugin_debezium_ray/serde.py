@@ -98,6 +98,28 @@ def _timestamp_repr(v: dt.datetime) -> str:
     return base + f"{sign}{total // 60:02d}:{total % 60:02d}"
 
 
+def _duration_repr(v: dt.timedelta) -> str:
+    """ISO-8601 duration string (``PnDTnHnMn.nS``), sign-prefixed when
+    negative (java.time.Duration.toString-style)."""
+    us = (v.days * 86_400 + v.seconds) * 1_000_000 + v.microseconds
+    sign = "-" if us < 0 else ""
+    us = abs(us)
+    days, rem = divmod(us, 86_400_000_000)
+    h, rem = divmod(rem, 3_600_000_000)
+    m, rem = divmod(rem, 60_000_000)
+    s, frac = divmod(rem, 1_000_000)
+    out = f"{sign}P" + (f"{days}D" if days else "") + "T"
+    if h:
+        out += f"{h}H"
+    if m:
+        out += f"{m}M"
+    if frac:
+        out += f"{s}.{frac:06d}S"
+    elif s or out.endswith("T"):
+        out += f"{s}S"
+    return out
+
+
 def ion_dumps(value) -> str:
     """One value → Ion text (recursive; rows are structs)."""
     if value is None:
@@ -127,6 +149,20 @@ def ion_dumps(value) -> str:
         return _timestamp_repr(value)
     if isinstance(value, dt.date):
         return f"{value.year:04d}-{value.month:02d}-{value.day:02d}"
+    if isinstance(value, dt.time):
+        # Ion has no time-only type — ISO string (the Jackson-Ion
+        # java.time convention the reference's FileSerde inherits)
+        return f'"{value.isoformat()}"'
+    if isinstance(value, dt.timedelta):
+        return f'"{_duration_repr(value)}"'
+    if hasattr(value, "months") and hasattr(value, "nanoseconds"):
+        # pyarrow MonthDayNano interval (the Debezium interval logical
+        # type) — ISO-8601 period string, no native Ion equivalent
+        ns = value.nanoseconds
+        return (
+            f'"P{value.months}M{value.days}D'
+            f'T{ns // 1_000_000_000}.{ns % 1_000_000_000:09d}S"'
+        )
     if isinstance(value, (bytes, bytearray, memoryview)):
         return "{{" + base64.b64encode(bytes(value)).decode() + "}}"
     if isinstance(value, dict):

@@ -62,11 +62,22 @@ def vacuum(
     table_dir: str,
     *,
     keep_manifests: int = 1,
+    keep_every: int | None = None,
     dry_run: bool = False,
 ) -> dict:
-    """Delete data files and manifests not needed by the newest
-    ``keep_manifests`` commits.  Returns {deleted_files, freed_bytes,
-    kept_files}.  A file referenced by ANY kept manifest survives."""
+    """Delete data files and manifests not needed by the retained
+    commits.  Returns {deleted_files, freed_bytes, kept_files}.  A file
+    referenced by ANY kept manifest survives.
+
+    Retention policy: the newest ``keep_manifests`` commits always
+    survive; ``keep_every=M`` additionally retains every Mth version
+    (v % M == 0) as a sparse long-horizon history.  This is the
+    compaction knob for long follow-mode sessions — a stream committing
+    every arrival wave accumulates one manifest (plus one rewritten
+    file per touched bucket) per commit, so periodic
+    ``vacuum(keep_manifests=K, keep_every=M)`` bounds retained state at
+    K + versions/M manifests while keeping time travel to the sparse
+    checkpoints exact."""
     ck = CheckpointManager(table_dir)
     current = ck.restore()
     if current is None:
@@ -74,6 +85,12 @@ def vacuum(
 
     history = list_history(table_dir)
     keep_versions = {h["version"] for h in history[-max(1, keep_manifests):]}
+    if keep_every is not None:
+        if keep_every < 1:
+            raise ValueError("keep_every must be >= 1")
+        keep_versions |= {
+            h["version"] for h in history if h["version"] % keep_every == 0
+        }
     keep_versions.add(int(current["version"]))
 
     referenced: set[str] = set()

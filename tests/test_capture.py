@@ -146,6 +146,77 @@ def test_ion_format_sink(tmp_path):
     assert "deleted:" in text
 
 
+def test_ion_sink_round_trips_logical_type_matrix(tmp_path):
+    """The full 14-logical-type decode matrix through the REAL Ion
+    datasink and back (the FileSerde row contract,
+    `ChangeConsumer.java:192`): date/timestamp/decimal/blob round-trip
+    as native Ion typed scalars; time/duration/interval — which Ion has
+    no native type for — map to ISO-8601 strings (the Jackson-Ion
+    java.time convention)."""
+    import datetime as dt
+    import glob
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from plugin_debezium_ray.pipelines.capture import _make_ion_datasink
+    from plugin_debezium_ray.serde import ion_loads
+    from plugin_debezium_ray.stages.types import DECODERS
+
+    raw = {
+        "date": (pa.int32(), 19000),
+        "time": (pa.int32(), 3_600_000),
+        "micro_time": (pa.int64(), 3_600_000_000),
+        "nano_time": (pa.int64(), 3_600_000_000_000),
+        "timestamp": (pa.int64(), 86_400_000),
+        "micro_timestamp": (pa.int64(), 86_400_000_000),
+        "nano_timestamp": (pa.int64(), 86_400_000_000_000),
+        "micro_duration": (pa.int64(), 5_000_000),
+        "nano_duration": (pa.int64(), 5_000_000_000),
+        "year": (pa.int32(), 2022),
+        "zoned_timestamp": (pa.string(), "2022-01-08T01:02:03.000004+02:00"),
+        "zoned_time": (pa.string(), "03:02:03+02:00"),
+        "decimal": (pa.string(), "123.456"),
+        "interval": (pa.string(), "P1Y2M3DT4H5M6S"),
+    }
+    cols: dict = {"id": pa.array([1, 2], pa.int64())}
+    for name, (typ, v) in raw.items():
+        cols[name] = DECODERS[name](pa.array([v, None], type=typ))
+    cols["blob"] = pa.array([b"\x01\x02", None], pa.binary())
+    ray.data.from_arrow(pa.table(cols)).write_datasink(
+        _make_ion_datasink(str(tmp_path))
+    )
+
+    rows = []
+    for f in sorted(glob.glob(str(tmp_path / "*.ion"))):
+        with open(f) as fh:
+            rows.extend(ion_loads(line) for line in fh.read().splitlines())
+    rows.sort(key=lambda r: r["id"])
+    assert len(rows) == 2
+    full, nulls = rows
+    assert full["date"] == dt.date(2022, 1, 8)
+    assert full["year"] == dt.date(2022, 1, 1)
+    assert full["timestamp"] == dt.datetime(1970, 1, 2)  # naive, -00:00
+    assert full["micro_timestamp"] == dt.datetime(1970, 1, 2)
+    assert full["nano_timestamp"] == dt.datetime(1970, 1, 2)
+    assert full["zoned_timestamp"] == dt.datetime(
+        2022, 1, 7, 23, 2, 3, 4, tzinfo=dt.timezone.utc
+    )
+    assert full["decimal"] == Decimal("123.456000000")
+    assert full["blob"] == b"\x01\x02"
+    # Ion-typeless logicals land as ISO-8601 strings
+    assert full["time"] == "01:00:00"
+    assert full["micro_time"] == "01:00:00"
+    assert full["nano_time"] == "01:00:00"
+    assert full["zoned_time"] == "01:02:03"  # normalized to UTC on decode
+    assert full["micro_duration"] == "PT5S"
+    assert full["nano_duration"] == "PT5S"
+    assert full["interval"] == "P14M3DT14706.000000000S"
+    # null passthrough on every column
+    assert all(nulls[k] is None for k in raw)
+    assert nulls["blob"] is None
+
+
 def test_ion_round_trip_property():
     """Property: ion_loads(ion_dumps(v)) == v over random nested values
     (hypothesis; the reader exists precisely so the sink isn't

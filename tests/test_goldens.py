@@ -52,6 +52,20 @@ def test_simhash_pairs_golden():
     assert got == want
 
 
+def test_ann_ivf_nprobe_curve_golden():
+    """The recall-vs-nprobe curve, pinned: per-(nprobe, query) recall@10
+    at nprobe ∈ {1,2,4,8} of 8 clusters, plus the structural invariants
+    (mean recall monotone in nprobe; exact at nprobe = n_clusters)."""
+    want = [[int(a), int(b), float(c)] for a, b, c in
+            _golden("ann_ivf_approx")]
+    out = _queries()["ann_ivf_approx"](SF_DIR)
+    got = sorted(map(list, out.itertuples(index=False)))
+    assert got == want
+    curve = out.groupby("nprobe")["recall_at_10"].mean().sort_index()
+    assert (curve.diff().dropna() >= -1e-12).all(), curve.to_dict()
+    assert curve.loc[8] == 1.0
+
+
 def test_cdc_six_ops_golden():
     """Final lake state of the all-six-ops WAL (c/u/d/r/t/m), pinned:
     truncate deletes, messages mutate nothing — any drift in the op

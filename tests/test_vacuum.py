@@ -101,6 +101,55 @@ class TestTimeTravel:
             job.read_table(version=1)
 
 
+def test_retention_policy_bounds_long_streams(tmp_path):
+    """10 commits (a long follow-mode session), then
+    vacuum(keep_manifests=2, keep_every=4): retained history is exactly
+    the sparse checkpoints {4, 8} + the newest two {9, 10}; file count
+    is bounded; time travel to every retained version is intact and
+    pruned versions raise."""
+    import pandas as pd
+    import pytest
+
+    job = ReplayJob(CaptureConfig(num_buckets=4), str(tmp_path))
+    snapshots: dict[int, pd.DataFrame] = {}
+    for i in range(10):
+        res = job.run(binlog(200, 60, seed=i + 1, base_lsn=1 + i * 10_000),
+                      ddl_source=False)
+        snapshots[res.version] = (
+            job.read_table().to_pandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+    assert job.versions() == list(range(1, 11))
+
+    def n_data_files():
+        return sum(
+            len(files)
+            for _, _, files in os.walk(os.path.join(str(tmp_path), "data"))
+        )
+
+    before = n_data_files()
+    stats = vacuum(str(tmp_path), keep_manifests=2, keep_every=4)
+    assert stats["deleted_files"] > 0
+    assert job.versions() == [4, 8, 9, 10]
+    # bounded: at most num_buckets files per retained version
+    assert n_data_files() < before
+    assert n_data_files() <= 4 * 4
+    # retained versions read back exactly; pruned ones raise
+    for v in (4, 8, 9, 10):
+        got = (job.read_table(version=v).to_pandas()
+               .sort_values(["repo", "path"]).reset_index(drop=True))
+        assert got.equals(snapshots[v]), f"retained version {v} drifted"
+    for v in (1, 2, 3, 5, 6, 7):
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            job.read_table(version=v)
+    # a second vacuum with the same policy is a no-op (idempotent GC)
+    again = vacuum(str(tmp_path), keep_manifests=2, keep_every=4)
+    assert again["deleted_files"] == 0
+    assert job.versions() == [4, 8, 9, 10]
+    with pytest.raises(ValueError):
+        vacuum(str(tmp_path), keep_every=0)
+
+
 def test_torn_manifest_is_not_history(tmp_path):
     """A manifest written without the CURRENT flip (the save() crash
     window) is a torn write, not a commit: invisible to versions()/

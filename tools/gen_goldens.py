@@ -75,6 +75,9 @@ def main() -> None:
             map(list, qs["multimodal_video"](SF_DIR)
                 .to_pandas().itertuples(index=False))
         ),
+        "ann_ivf_approx": sorted(
+            map(list, qs["ann_ivf_approx"](SF_DIR).itertuples(index=False))
+        ),
     }
     for name, data in goldens.items():
         path = os.path.join(OUT, f"{name}.json")
