@@ -884,6 +884,69 @@ def q_join_enrich(sf_dir: str):
     return df
 
 
+def q_asof_join(sf_dir: str):
+    """Event-time as-of enrichment: every event picks up the most
+    recent marker event (every 50th event id, deduped per (user, ts))
+    of the SAME user — shuffle-free broadcast asof join, the big side
+    streams untouched."""
+    import pyarrow as pa
+
+    from plugin_debezium_ray.functions.joins import asof_join_broadcast
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+
+    def is_mark(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rem = pc.subtract(
+            t["event_id"],
+            pc.multiply(pc.divide(t["event_id"], 50), 50),
+        )
+        return t.filter(pc.equal(rem, pa.scalar(0, pa.int64())))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "ts", "mark_id"])
+
+    marks = (
+        ev.map_batches(is_mark, batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .max("event_id")
+        .map_batches(rename, batch_format="pyarrow")
+    )
+    out = asof_join_broadcast(ev, marks, on="ts", by="user_id")
+    return out.select_columns(["event_id", "mark_id"])
+
+
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles (one sort + block-count selection,
+    point lookups only — the driver never sees rows)."""
+    from plugin_debezium_ray.functions.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    return exact_quantiles(
+        ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+def q_quantiles_by_group(sf_dir: str):
+    """Exact per-group quantiles via the same single (group, value)
+    sort — group sizes never bound a task's memory."""
+    from plugin_debezium_ray.functions.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    return exact_quantiles(
+        ds, "l_extendedprice", [0.5, 0.9], by="l_returnflag"
+    )
+
+
 def q_agg_event_stats(sf_dir: str):
     """§2.6 aggregations: grouped count + sum over the event stream."""
     from ray.data.aggregate import Count, Sum
@@ -1043,6 +1106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_approx": q_ann_ivf_approx,
         "join_enrich": q_join_enrich,
+        "asof_join": q_asof_join,
+        "quantiles": q_quantiles,
+        "quantiles_by_group": q_quantiles_by_group,
         "ann_quantize": q_ann_quantize,
         "agg_approx_distinct": q_agg_approx_distinct,
         "agg_event_stats": q_agg_event_stats,
@@ -1342,6 +1408,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n_name
+        """,
+        "asof_join": """
+            WITH marks AS (
+                SELECT user_id, ts, max(event_id) AS mark_id
+                FROM events WHERE event_id % 50 = 0
+                GROUP BY user_id, ts
+            )
+            SELECT e.event_id, m.mark_id
+            FROM events e ASOF LEFT JOIN marks m
+              ON e.user_id = m.user_id AND e.ts >= m.ts
+        """,
+        "quantiles": """
+            SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+            UNION ALL
+            SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL
+            SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
+            UNION ALL
+            SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem
+            UNION ALL
+            SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+        """,
+        "quantiles_by_group": """
+            SELECT l_returnflag, 0.5 AS q,
+                   quantile_disc(l_extendedprice, 0.5) AS value
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.9,
+                   quantile_disc(l_extendedprice, 0.9)
+            FROM lineitem GROUP BY l_returnflag
         """,
         "agg_event_stats": """
             SELECT event_type, count(*) AS n,

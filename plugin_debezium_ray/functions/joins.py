@@ -17,7 +17,10 @@ as a first-class operator.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -92,4 +95,126 @@ def broadcast_join(
             "join_type": _HOW_TO_ARROW[how],
         },
         batch_format="pyarrow",
+    )
+
+
+# ----------------------------------------------------------- asof join
+
+
+class _AsofProbe:
+    """Actor-pool probe for the broadcast as-of join: the (small,
+    bounded) right side is fetched and index-sorted ONCE per actor in
+    ``__init__``; each batch runs ``pd.merge_asof`` — the grouped
+    backward/forward binary search, a C kernel with no Arrow
+    equivalent — against it to find the matched right ROW INDEX only,
+    then gathers the right payload columns with ``pc.take`` using a
+    null-masked index array, so unmatched rows yield typed Arrow nulls
+    (an int64 payload stays int64; no float drift between blocks)."""
+
+    def __init__(self, small_ref, on: str, by: "str | None",
+                 direction: str, allow_exact_matches: bool):
+        right = ray.get(small_ref)  # zero-copy plasma mmap
+        self.on = on
+        self.by = by
+        self.direction = direction
+        self.allow_exact = allow_exact_matches
+        self.payload = [
+            c for c in right.column_names if c != on and c != by
+        ]
+        self.right_cols = {
+            c: right[c].combine_chunks() for c in self.payload
+        }
+        rdf = pd.DataFrame({on: right[on].to_pandas()})
+        if by is not None:
+            rdf[by] = right[by].to_pandas()
+        rdf["_ridx"] = np.arange(len(rdf), dtype=np.int64)
+        self.rdf = rdf.sort_values(on, kind="stable").reset_index(drop=True)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ridx = np.full(n, -1, dtype=np.int64)
+        if n:
+            ldf = pd.DataFrame({self.on: t[self.on].to_pandas()})
+            if self.by is not None:
+                ldf[self.by] = t[self.by].to_pandas()
+            ldf["_lidx"] = np.arange(n, dtype=np.int64)
+            # null on/by keys never match (SQL join-key semantics), and
+            # merge_asof refuses null keys outright — probe valid rows
+            valid = ldf[self.on].notna()
+            if self.by is not None:
+                valid &= ldf[self.by].notna()
+            lv = ldf[valid].sort_values(self.on, kind="stable")
+            if len(lv):
+                m = pd.merge_asof(
+                    lv, self.rdf, on=self.on, by=self.by,
+                    direction=self.direction,
+                    allow_exact_matches=self.allow_exact,
+                )
+                got = m["_ridx"].fillna(-1).to_numpy(np.int64)
+                ridx[m["_lidx"].to_numpy(np.int64)] = got
+        mask = ridx < 0
+        idx = pa.array(np.where(mask, 0, ridx), type=pa.int64(),
+                       mask=mask)  # masked → null → pc.take yields null
+        cols = {c: t[c] for c in t.column_names}
+        for c in self.payload:
+            cols[c] = pc.take(self.right_cols[c], idx)
+        return pa.table(cols)
+
+
+def asof_join_broadcast(
+    big: "ray.data.Dataset",
+    small: "ray.data.Dataset",
+    *,
+    on: str,
+    by: "str | None" = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    small_max_rows: int = 5_000_000,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """As-of (event-time lookup) LEFT join: every row of ``big`` gets
+    the payload of the ``small`` row with equal ``by`` key and the
+    greatest ``on`` ≤ big's ``on`` (``direction="backward"``; SQL
+    ``ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on``), or typed
+    nulls when no such row exists.  ``direction`` ∈ {"backward",
+    "forward", "nearest"}.
+
+    Scale shape: the right side is a bounded reference series
+    (checkpoints, prices, config epochs) — collected once, ``ray.put``
+    once, sorted once per actor; the big side streams through a
+    shuffle-free actor-pool ``map_batches`` whose per-batch work is one
+    sort + one grouped binary search.  The right side should be unique
+    per ``(by, on)``: among exact duplicates the LAST in input order
+    wins (deduplicate upstream for well-defined semantics).  Right
+    payload column names must not collide with left names (select /
+    rename before joining); the matched ``on`` value is not re-emitted
+    — include it as a renamed payload column if needed."""
+    from plugin_debezium_ray.smallfetch import fetch_small_table
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    small_tbl = fetch_small_table(small)
+    if small_tbl.num_rows > small_max_rows:
+        raise ValueError(
+            f"asof broadcast side has {small_tbl.num_rows} rows "
+            f"(> small_max_rows={small_max_rows})"
+        )
+    overlap = [
+        c for c in small_tbl.column_names
+        if c not in (on, by) and c in (big.schema().names or [])
+    ]
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {overlap}")
+    ref = ray.put(small_tbl)
+    return big.map_batches(
+        _AsofProbe,
+        fn_constructor_kwargs={
+            "small_ref": ref,
+            "on": on,
+            "by": by,
+            "direction": direction,
+            "allow_exact_matches": allow_exact_matches,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )

@@ -1,0 +1,167 @@
+"""Exact distributed quantiles — order statistics without collecting
+the data.
+
+``quantile_cont``-style sketches (t-digest, KLL) trade exactness for
+one pass; this operator keeps EXACT ``quantile_disc`` semantics (the
+element at 1-indexed rank ``max(1, ceil(q·n))`` of the sorted column —
+DuckDB's discrete quantile, with the quantile treated as an exact
+decimal the way a SQL literal is) at the cost of the one shuffle a
+rank selection fundamentally needs:
+
+  1. prune to the needed columns, drop nulls (SQL aggregate semantics)
+  2. ONE range sort (by ``(group, value)`` for the grouped form) —
+     the only all-to-all move
+  3. selection: per-block group-run counts are computed by parallel
+     tasks (each returns O(runs) tuples, never rows), the driver folds
+     them into per-group cumulative offsets — O(groups × blocks)
+     scalars — and maps every (group, q) to a (block, row-offset)
+     coordinate
+  4. point lookups: one task per block that holds a wanted coordinate
+     returns just those scalar values; blocks nobody needs are never
+     fetched
+
+So the driver sees counts and the handful of answers, never data —
+the same three-phase scan shape as ``pack_sequences``.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _null_fill_scalar(typ: pa.DataType) -> pa.Scalar:
+    """A typed placeholder for null sort keys (any constant works — the
+    leading is-null flag already separates null groups)."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.scalar("", typ)
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.scalar(b"", typ)
+    return pc.cast(pa.scalar(0), typ)
+
+
+def _rank(q: float, n: int) -> int:
+    """1-indexed rank of the q-quantile among n sorted values — DuckDB
+    ``quantile_disc`` parity, verified exhaustively for n ≤ 12345 and
+    q in centiles: ``max(1, ceil(q·n))`` with q as the EXACT decimal
+    its SQL literal denotes (0.28·25 must be 7, not the 7.0000000000004
+    double arithmetic gives)."""
+    return max(1, math.ceil(Fraction(str(q)) * n))
+
+
+@ray.remote
+def _block_runs(tbl: pa.Table, by: "str | None"):
+    """Group runs of one sorted block: [(group, start_row, count)].
+    O(runs) output — for the global form, one tuple per block."""
+    n = tbl.num_rows
+    if n == 0:  # Ray sort emits schema-less empty blocks
+        return []
+    if by is None:
+        return [(None, 0, n)]
+    gc = tbl[by]
+    if gc.null_count:
+        # null groups: object path (numeric nulls surface as NaN in
+        # numpy, and NaN != NaN would split one group into n runs)
+        g = np.array(gc.to_pylist(), dtype=object)
+    else:
+        g = gc.to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(g[1:] != g[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n]])
+    return [(g[s], int(s), int(e - s)) for s, e in zip(starts, ends)]
+
+
+@ray.remote
+def _pick(tbl: pa.Table, col: str, offsets: "list[int]"):
+    """Point lookups in one block — returns len(offsets) scalars."""
+    a = tbl[col]
+    return [a[o].as_py() for o in offsets]
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: "list[float]",
+    *,
+    by: "str | None" = None,
+) -> pd.DataFrame:
+    """Exact discrete quantiles of ``col`` — globally, or per group of
+    ``by``.  Returns a small DataFrame ``(q, value)`` (plus the group
+    column first when ``by`` is given), sorted by (group, q).  Null
+    values are ignored (SQL aggregate semantics); null GROUPS form
+    their own group; a group with no non-null values is absent — both
+    exactly ``GROUP BY`` + ``quantile_disc``.
+
+    The result is driver-side by design: quantile output is O(groups ×
+    len(qs)) scalars, the classic small-answer/huge-input aggregate."""
+    cols = [col] if by is None else [by, col]
+
+    def dropnull(t: pa.Table) -> pa.Table:
+        t = t.select(cols).filter(pc.is_valid(t[col]))
+        if by is not None:
+            # Ray's range sort cannot partition on null keys — lead the
+            # sort with an is-null flag + a typed fill, which keeps null
+            # groups contiguous (sorted last) in the same single pass;
+            # run detection still reads the REAL group column
+            t = t.append_column(
+                "_gn", pc.cast(pc.is_null(t[by]), pa.int8())
+            ).append_column(
+                "_gf", pc.coalesce(t[by], _null_fill_scalar(t[by].type))
+            )
+        return t
+
+    cleaned = ds.map_batches(dropnull, batch_format="pyarrow")
+    # materialize before to_arrow_refs: on a lazy Dataset the refs call
+    # re-executes the whole upstream sort for its internal schema probe
+    sort_keys = [col] if by is None else ["_gn", "_gf", col]
+    refs = cleaned.sort(sort_keys).materialize().to_arrow_refs()
+    runs_per_block = ray.get([_block_runs.remote(r, by) for r in refs])
+
+    # fold runs (arriving in global sorted order) into per-group spans
+    spans: dict = {}  # group -> list[(block_i, start, count)]
+    order: list = []  # first-seen order == sorted group order
+    for bi, runs in enumerate(runs_per_block):
+        for g, start, cnt in runs:
+            if g not in spans:
+                spans[g] = []
+                order.append(g)
+            spans[g].append((bi, start, cnt))
+
+    # map every (group, q) to its (block, offset) coordinate
+    wanted: dict[int, list[int]] = {}  # block -> offsets
+    slots: list = []  # (group, q, block, offset)
+    for g in order:
+        total = sum(c for _, _, c in spans[g])
+        for q in qs:
+            rest = _rank(q, total) - 1  # 0-indexed global rank in group
+            for bi, start, cnt in spans[g]:
+                if rest < cnt:
+                    off = start + rest
+                    wanted.setdefault(bi, []).append(off)
+                    slots.append((g, q, bi, off))
+                    break
+                rest -= cnt
+
+    fetched = ray.get(
+        [_pick.remote(refs[bi], col, offs) for bi, offs in wanted.items()]
+    )
+    values = {
+        (bi, off): v
+        for (bi, offs), vals in zip(wanted.items(), fetched)
+        for off, v in zip(offs, vals)
+    }
+    rows = [
+        {**({by: g} if by is not None else {}), "q": q,
+         "value": values[(bi, off)]}
+        for g, q, bi, off in slots
+    ]
+    out_cols = ([by] if by is not None else []) + ["q", "value"]
+    return pd.DataFrame(rows, columns=out_cols)

@@ -1456,6 +1456,182 @@ class TestSketches:
             ds.filter(expr="text == 'nope'"), "text") == 0
 
 
+class TestAsofJoin:
+    def _sides(self):
+        left = pd.DataFrame({
+            "id": [1, 2, 3, 4, 5, 6],
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "t": [5, 10, 3, 7, 1, 9],
+        })
+        right = pd.DataFrame({
+            "k": ["a", "a", "b"],
+            "t": [4, 10, 6],
+            "mark": [100, 200, 300],
+        })
+        return left, right
+
+    def test_backward_semantics_and_typed_nulls(self):
+        from plugin_debezium_ray.functions.joins import asof_join_broadcast
+
+        left, right = self._sides()
+        out_ds = asof_join_broadcast(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right), on="t", by="k",
+        )
+        # unmatched rows carry TYPED nulls — int64 stays int64
+        assert out_ds.schema().types[-1] == pa.int64()
+        out = out_ds.to_pandas().sort_values("id")
+        want = {1: 100, 2: 200, 3: None, 4: 300, 5: None, 6: None}
+        got = {int(i): (None if pd.isna(m) else int(m))
+               for i, m in zip(out["id"], out["mark"])}
+        assert got == want
+
+    def test_matches_duckdb_asof_join(self):
+        import duckdb
+
+        from plugin_debezium_ray.functions.joins import asof_join_broadcast
+
+        rng = np.random.default_rng(17)
+        n = 2000
+        left = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 20, n),
+            "t": rng.integers(0, 1000, n),
+        })
+        right = (pd.DataFrame({
+            "k": rng.integers(0, 25, 120),
+            "t": rng.integers(0, 1000, 120),
+            "mark": np.arange(120, dtype=np.int64),
+        }).drop_duplicates(["k", "t"]))
+        out = (asof_join_broadcast(
+                   ray.data.from_pandas(left).repartition(7),
+                   ray.data.from_pandas(right), on="t", by="k")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        ref = con.execute(
+            "SELECT l.id, r.mark FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t ORDER BY l.id"
+        ).df()
+        assert out["mark"].fillna(-1).tolist() == \
+            ref["mark"].fillna(-1).tolist()
+
+    def test_forward_nearest_and_exact_match_toggle(self):
+        from plugin_debezium_ray.functions.joins import asof_join_broadcast
+
+        left, right = self._sides()
+        lds = ray.data.from_pandas(left)
+        rds = ray.data.from_pandas(right)
+        fwd = (asof_join_broadcast(lds, rds, on="t", by="k",
+                                   direction="forward")
+               .to_pandas().set_index("id")["mark"])
+        # id1 (a,5): next a-mark at t=10 -> 200; id3 (a,3): t=4 -> 100
+        assert fwd[1] == 200 and fwd[3] == 100 and pd.isna(fwd[5]) is False
+        near = (asof_join_broadcast(lds, rds, on="t", by="k",
+                                    direction="nearest")
+                .to_pandas().set_index("id")["mark"])
+        assert near[3] == 100  # |3-4| beats |3-10|
+        noex = (asof_join_broadcast(lds, rds, on="t", by="k",
+                                    allow_exact_matches=False)
+                .to_pandas().set_index("id")["mark"])
+        assert noex[2] == 100  # t=10 no longer matches itself
+
+    def test_null_keys_never_match(self):
+        from plugin_debezium_ray.functions.joins import asof_join_broadcast
+
+        left = pd.DataFrame({
+            "id": [1, 2, 3],
+            "k": ["a", None, "a"],
+            "t": [5.0, 5.0, None],
+        })
+        _, right = self._sides()
+        right = right.assign(t=right["t"].astype(float))
+        out = (asof_join_broadcast(
+                   ray.data.from_pandas(left),
+                   ray.data.from_pandas(right), on="t", by="k")
+               .to_pandas().set_index("id")["mark"])
+        assert out[1] == 100 and pd.isna(out[2]) and pd.isna(out[3])
+
+    def test_validation(self):
+        import pytest
+
+        from plugin_debezium_ray.functions.joins import asof_join_broadcast
+
+        left, right = self._sides()
+        lds = ray.data.from_pandas(left)
+        with pytest.raises(ValueError, match="direction"):
+            asof_join_broadcast(lds, ray.data.from_pandas(right),
+                                on="t", by="k", direction="sideways")
+        with pytest.raises(ValueError, match="collide"):
+            asof_join_broadcast(
+                lds, ray.data.from_pandas(right.rename(columns={"mark": "id"})),
+                on="t", by="k")
+        with pytest.raises(ValueError, match="small_max_rows"):
+            asof_join_broadcast(lds, ray.data.from_pandas(right),
+                                on="t", by="k", small_max_rows=2)
+
+
+class TestExactQuantiles:
+    def test_global_matches_duckdb(self):
+        import duckdb
+
+        from plugin_debezium_ray.functions.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(5)
+        vals = rng.integers(-500, 500, 3001).astype(np.int64)
+        df = pd.DataFrame({"x": vals})
+        qs = [0.0, 0.01, 0.25, 0.28, 0.5, 2 / 3, 0.9, 0.999, 1.0]
+        out = exact_quantiles(
+            ray.data.from_pandas(df).repartition(9), "x", qs)
+        con = duckdb.connect()
+        con.register("t", df)
+        for q, v in zip(out["q"], out["value"]):
+            ref = con.execute(
+                f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+            assert v == ref, (q, v, ref)
+
+    def test_grouped_with_null_values_and_null_group(self):
+        import duckdb
+
+        from plugin_debezium_ray.functions.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(6)
+        n = 2000
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c", None], n),
+            "x": rng.integers(0, 100, n).astype(float),
+        })
+        df.loc[rng.choice(n, 50, replace=False), "x"] = np.nan
+        out = exact_quantiles(
+            ray.data.from_pandas(df).repartition(8), "x", [0.5, 0.9],
+            by="g",
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        ref = con.execute("""
+            SELECT g, 0.5 AS q, quantile_disc(x, 0.5) AS value
+            FROM t GROUP BY g
+            UNION ALL
+            SELECT g, 0.9, quantile_disc(x, 0.9) FROM t GROUP BY g
+        """).df()
+        key = lambda d: sorted(
+            (("∅" if pd.isna(g) else g), float(q), float(v))
+            for g, q, v in zip(d["g"], d["q"], d["value"])
+        )
+        assert key(out) == key(ref)
+
+    def test_empty_and_single(self):
+        from plugin_debezium_ray.functions.quantiles import exact_quantiles
+
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"x": pd.Series([], dtype="int64")}))
+        assert len(exact_quantiles(empty, "x", [0.5])) == 0
+        one = ray.data.from_pandas(pd.DataFrame({"x": [7]}))
+        out = exact_quantiles(one, "x", [0.0, 0.5, 1.0])
+        assert out["value"].tolist() == [7, 7, 7]
+
+
 class TestGroupedTopK:
     def test_matches_window_reference(self):
         from plugin_debezium_ray.functions.ranking import grouped_top_k
