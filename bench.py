@@ -90,11 +90,16 @@ def wal_params(sf_dir: str, events_per_row: int = EVENTS_PER_ROW) -> tuple[int, 
 
 
 def ensure_wal(
-    sf_dir: str, events_per_row: int = EVENTS_PER_ROW
+    sf_dir: str, events_per_row: int = EVENTS_PER_ROW, **gen_kw
 ) -> tuple[str, int, int]:
-    """Generate (once) and cache the synthetic WAL segments + snapshot."""
+    """Generate (once) and cache the synthetic WAL segments + snapshot.
+    Extra ``gen_kw`` (e.g. ``hot_key_frac``) reach the generator and
+    become part of the cache tag."""
     n_events, n_keys = wal_params(sf_dir, events_per_row)
-    tag = f"wal_e{n_events}_k{n_keys}_s{WAL_SEED}"
+    suffix = "".join(
+        f"_{k}{v}" for k, v in sorted(gen_kw.items())
+    ).replace("/", "_")
+    tag = f"wal_e{n_events}_k{n_keys}_s{WAL_SEED}{suffix}"
     wal_dir = os.path.join(CACHE, tag, "wal")
     snap_dir = os.path.join(CACHE, tag, "snapshot")
     done = os.path.join(CACHE, tag, "_DONE")
@@ -106,7 +111,8 @@ def ensure_wal(
 
         shutil.rmtree(os.path.join(CACHE, tag), ignore_errors=True)
         write_binlog_segments(
-            wal_dir, n_events, n_keys, seed=WAL_SEED, num_segments=64
+            wal_dir, n_events, n_keys, seed=WAL_SEED, num_segments=64,
+            **gen_kw,
         )
         snapshot_envelopes(n_keys, seed=WAL_SEED, override_num_blocks=16).write_parquet(
             snap_dir
@@ -117,7 +123,7 @@ def ensure_wal(
 
 
 def bench_cdc_replay(
-    sf_dir: str, events_per_row: int = EVENTS_PER_ROW
+    sf_dir: str, events_per_row: int = EVENTS_PER_ROW, **gen_kw
 ) -> dict:
     """Headline: full replay (snapshot + WAL) into a fresh lake — the
     end-to-end events/sec metric of BASELINE.json."""
@@ -128,7 +134,7 @@ def bench_cdc_replay(
     from plugin_debezium_ray.config import CaptureConfig
     from plugin_debezium_ray.pipelines.replay import ReplayJob
 
-    wal_dir, n_events, n_keys = ensure_wal(sf_dir, events_per_row)
+    wal_dir, n_events, n_keys = ensure_wal(sf_dir, events_per_row, **gen_kw)
     snap_dir = os.path.join(os.path.dirname(wal_dir), "snapshot")
     lake = f"/tmp/bench_lake_{os.getpid()}"
     shutil.rmtree(lake, ignore_errors=True)
@@ -497,9 +503,54 @@ def run_replay_only(events_per_row: int | None = None) -> dict:
     return out
 
 
+def run_skew() -> dict:
+    """Pathological-skew soak: the SAME replay over a uniform WAL vs a
+    WAL where ONE (repo, path) key receives 50% of all events — the
+    worst case for a key-partitioned apply (a hot repo spreads across
+    buckets via the (repo, path) hash; a single hot key cannot spread,
+    only the per-batch LWW pre-reduce saves it).  Interleaved best-of-2
+    per variant (noisy shared host); reports events/s both ways plus
+    the hot/uniform throughput ratio."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.target_max_block_size = TARGET_BLOCK_MB * 1024 * 1024
+
+    variants = {"uniform": {}, "hot_key_50pct": {"hot_key_frac": 0.5}}
+    for kw in variants.values():  # generate + page-cache both first
+        ensure_wal(SF_DIR, **kw)
+    runs: dict[str, list[dict]] = {k: [] for k in variants}
+    for _ in range(2):  # interleave so host drift hits both equally
+        for name, kw in variants.items():
+            runs[name].append(bench_cdc_replay(SF_DIR, **kw))
+    best = {k: max(rs, key=lambda r: r["eps"]) for k, rs in runs.items()}
+    result = {
+        "metric": "skew-soak replay events/sec (uniform vs one-key-50pct)",
+        "value": round(best["hot_key_50pct"]["eps"], 1),
+        "unit": "events/sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": best["uniform"]["events"],
+        "eps_uniform": round(best["uniform"]["eps"], 1),
+        "eps_hot_key_50pct": round(best["hot_key_50pct"]["eps"], 1),
+        "hot_over_uniform": round(
+            best["hot_key_50pct"]["eps"] / best["uniform"]["eps"], 3
+        ),
+    }
+    ray.shutdown()
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     elif "--replay-only" in sys.argv:
         epr = SCALING_EVENTS_PER_ROW if "--scaling-wal" in sys.argv else None
         print(json.dumps(run_replay_only(epr)))

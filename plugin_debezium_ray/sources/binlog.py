@@ -66,10 +66,23 @@ def _ops_of(
     return ops
 
 
-def _keys_of(seed: int, ev: np.ndarray, n_keys: int, key_skew: bool) -> np.ndarray:
+def _keys_of(
+    seed: int, ev: np.ndarray, n_keys: int, key_skew: bool,
+    hot_key_frac: float = 0.0,
+) -> np.ndarray:
     if key_skew:
-        return zipf_rank(seed, ev, n_keys, stream=11)
-    return (mix(seed, ev, stream=11) % np.uint64(n_keys)).astype(np.int64)
+        idx = zipf_rank(seed, ev, n_keys, stream=11)
+    else:
+        idx = (mix(seed, ev, stream=11) % np.uint64(n_keys)).astype(np.int64)
+    if hot_key_frac:
+        # pathological hot-key soak: one single (repo, path) key receives
+        # ``hot_key_frac`` of ALL events — the worst case for any
+        # key-partitioned apply (a whole-repo hot spot still spreads
+        # across buckets because bucketing hashes (repo, path) together;
+        # one KEY cannot spread, only pre-reduce saves it)
+        hot = uniform01(seed, ev, stream=12) < hot_key_frac
+        idx = np.where(hot, np.int64(0), idx)
+    return idx
 
 
 def schema(key_cols: tuple[str, ...] = ("repo", "path")) -> pa.Schema:
@@ -100,11 +113,12 @@ def _gen_batch(
     key_skew: bool,
     p_truncate: float = 0.0,
     p_message: float = 0.0,
+    hot_key_frac: float = 0.0,
 ) -> pa.Table:
     """Envelope rows for global event indices ``ev`` (vectorized)."""
     n = len(ev)
     ops = _ops_of(seed, ev, p_truncate, p_message)
-    key_idx = _keys_of(seed, ev, n_keys, key_skew)
+    key_idx = _keys_of(seed, ev, n_keys, key_skew, hot_key_frac)
     lsn = base_lsn + ev // txn_size
     seq = ev % txn_size
     ts_ms = 1_700_000_000_000 + ev * 13
@@ -178,6 +192,7 @@ def binlog(
     override_num_blocks: int | None = None,
     p_truncate: float = 0.0,
     p_message: float = 0.0,
+    hot_key_frac: float = 0.0,
 ) -> "ray.data.Dataset":
     """The change-event stream as a Dataset (distributed generation)."""
     n_repos = n_repos or max(1, n_keys // 50)
@@ -194,6 +209,7 @@ def binlog(
             key_skew=key_skew,
             p_truncate=p_truncate,
             p_message=p_message,
+            hot_key_frac=hot_key_frac,
         )
 
     ds = ray.data.range(n_events, override_num_blocks=override_num_blocks)
@@ -307,6 +323,7 @@ def oracle_apply(
     key_skew: bool = False,
     p_truncate: float = 0.0,
     p_message: float = 0.0,
+    hot_key_frac: float = 0.0,
 ) -> dict[tuple[str, str], dict]:
     """Single-threaded pure-Python replay — the parity oracle.
 
@@ -328,7 +345,7 @@ def oracle_apply(
     if max_lsn is not None:
         ev = ev[lsn <= max_lsn]
     ops = _ops_of(seed, ev, p_truncate, p_message)
-    key_idx = _keys_of(seed, ev, n_keys, key_skew)
+    key_idx = _keys_of(seed, ev, n_keys, key_skew, hot_key_frac)
     img = row_image(seed, key_idx, ev + 1, n_repos)
     rows = img.to_pylist()
     from plugin_debezium_ray.sources.source_table import key_of_index

@@ -95,3 +95,40 @@ def test_streaming_apply_under_key_skew():
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hot_key_wal_parity():
+    """The bench --skew soak's WAL shape — ONE key receiving 50% of all
+    events — applies to exactly the oracle state through the streaming
+    engine (the pathological path is correctness-neutral, not just
+    survivable)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from plugin_debezium_ray.sources.binlog import _keys_of
+
+    # the skew is real: key 0 takes ~half the stream
+    counts = np.bincount(
+        _keys_of(21, np.arange(4000, dtype=np.int64), 300, False, 0.5),
+        minlength=300,
+    )
+    assert counts[0] > 1500 and counts[0] < 2500
+
+    d = tempfile.mkdtemp(prefix="hotkey_", dir="/tmp")
+    try:
+        job = ReplayJob(CaptureConfig(num_buckets=8), d)
+        job.run_streaming(binlog(4000, 300, seed=21, hot_key_frac=0.5))
+        oracle = oracle_apply(4000, 300, seed=21, hot_key_frac=0.5,
+                              include_snapshot=False)
+        got = {
+            (r.repo, r.path): hashlib.sha256(r.content.encode()).hexdigest()
+            for r in job.read_table().to_pandas().itertuples()
+        }
+        want = {
+            k: hashlib.sha256(v["content"].encode()).hexdigest()
+            for k, v in oracle.items()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
