@@ -920,6 +920,85 @@ def q_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "mark_id"])
 
 
+def q_interval_join(sf_dir: str):
+    """Range-containment enrichment: every event joined to the
+    30-minute windows opened by every 500th event (overlaps
+    multiply-match) — broadcast interval probe, big side unshuffled."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.functions.joins import interval_join_broadcast
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        rem = pc.subtract(
+            t["event_id"],
+            pc.multiply(pc.divide(t["event_id"], 500), 500),
+        )
+        t = t.filter(pc.equal(rem, pa.scalar(0, pa.int64())))
+        end = pc.add(t["ts"], pa.scalar(1_800_000_000, pa.duration("us")))
+        return pa.table({
+            "iv_id": t["event_id"], "start_ts": t["ts"], "end_ts": end,
+        })
+
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow")
+    out = interval_join_broadcast(ev, iv, on="ts")
+    return out.select_columns(["event_id", "iv_id"])
+
+
+def q_sample_weighted(sf_dir: str):
+    """Weight-proportional deterministic sampling (importance
+    resampling): keep each doc with probability min(n_tokens/100, 1),
+    decided by hash(doc_id) against an integer threshold — exact SQL
+    parity, no float rounding."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.functions.selection import threshold_sample
+    from plugin_debezium_ray.functions.text import token_count_batch
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def thr(t: pa.Table) -> pa.Table:
+        c = token_count_batch(t)
+        n = pc.fill_null(c["n_tokens"], 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "_thr": pc.min_element_wise(
+                pc.multiply(n, pa.scalar(100, pa.int64())),
+                pa.scalar(10_000, pa.int64()),
+            ),
+        })
+
+    out = threshold_sample(
+        docs.map_batches(thr, batch_format="pyarrow"), thr_col="_thr"
+    )
+    return out.select_columns(["doc_id"])
+
+
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embedding table: k-means
+    clusters bound the pairwise check; within a cluster, cosine ≥ 0.4
+    to a lower-id vector drops the row (testdata vectors are
+    near-orthogonal — 0.4 is the near-dup band there)."""
+    from plugin_debezium_ray.functions.dedup import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = semantic_dedup(
+        ds, n_clusters=8, threshold=0.4, id_col="vec_id",
+        vec_col="embedding",
+    )
+    return out.select_columns(["vec_id"])
+
+
 def q_quantiles(sf_dir: str):
     """Exact distributed quantiles (one sort + block-count selection,
     point lookups only — the driver never sees rows)."""
@@ -1107,6 +1186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_approx": q_ann_ivf_approx,
         "join_enrich": q_join_enrich,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "sample_weighted": q_sample_weighted,
+        "dedup_semantic": q_dedup_semantic,
         "quantiles": q_quantiles,
         "quantiles_by_group": q_quantiles_by_group,
         "ann_quantize": q_ann_quantize,
@@ -1418,6 +1500,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, m.mark_id
             FROM events e ASOF LEFT JOIN marks m
               ON e.user_id = m.user_id AND e.ts >= m.ts
+        """,
+        "interval_join": """
+            WITH iv AS (
+                SELECT event_id AS iv_id, ts AS start_ts,
+                       ts + INTERVAL 30 MINUTE AS end_ts
+                FROM events WHERE event_id % 500 = 0
+            )
+            SELECT e.event_id, iv.iv_id
+            FROM events e JOIN iv
+              ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        """,
+        "sample_weighted": """
+            WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id FROM c
+            WHERE hash(doc_id) % 10000 < LEAST(n_tokens * 100, 10000)
         """,
         "quantiles": """
             SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem

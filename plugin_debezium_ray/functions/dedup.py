@@ -1446,3 +1446,94 @@ def cosine_pairs_exact(
         batch_size=1,
         concurrency=concurrency or max(1, min(npairs, 16)),
     )
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    *,
+    n_clusters: int = 64,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_flagged: bool = False,
+    max_cluster_block: int = 4096,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space with a
+    bounded-sample fit, then WITHIN each cluster drop every vector
+    whose cosine similarity to a lower-id vector of the same cluster is
+    ≥ ``threshold`` (the lowest id of each semantic-duplicate set
+    survives — deterministic under any partitioning).  Returns the
+    surviving rows (or, with ``keep_flagged=True``, the dropped ones —
+    the audit view).
+
+    Scale shape — the published algorithm's own design: clustering
+    bounds the O(m²) similarity check to within-cluster pairs, so pick
+    ``n_clusters`` ∝ corpus size to keep clusters task-sized.  Stages:
+    one bounded-sample k-means fit (corpus scanned once via ``limit``),
+    one shuffle-free assignment pass against broadcast centroids
+    (cosine argmax), ONE groupby shuffle on the cluster id, and a
+    per-cluster pruning kernel whose pairwise matmul is evaluated in
+    ``max_cluster_block``-column strips (memory O(m × strip), never the
+    full m×m Gram matrix)."""
+    import ray as _ray
+
+    from plugin_debezium_ray.functions.ann import kmeans_fit_sample
+
+    cents = kmeans_fit_sample(ds, n_clusters, vec_col=vec_col)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = cents / np.maximum(norms, 1e-12)
+    cref = _ray.put(cents.astype(np.float32))
+
+    class Assign:
+        def __init__(self, cref):
+            self.c = _ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("_cluster", pa.array([], pa.int32()))
+            m = np.stack([
+                np.asarray(v, dtype=np.float32)
+                for v in t[vec_col].to_pylist()
+            ])
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            c = np.argmax(m @ self.c.T, axis=1).astype(np.int32)
+            return t.append_column("_cluster", pa.array(c))
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        t = t.take(order)
+        m = np.stack([
+            np.asarray(v, dtype=np.float64)
+            for v in t[vec_col].to_pylist()
+        ])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        n = len(m)
+        drop = np.zeros(n, dtype=bool)
+        for s in range(0, n, max_cluster_block):
+            e = min(s + max_cluster_block, n)
+            sims = m @ m[s:e].T  # (n, strip)
+            # column j (global s+j) is a duplicate if any STRICTLY
+            # earlier row i < s+j reaches the threshold
+            ii = np.arange(n)[:, None]
+            jj = np.arange(s, e)[None, :]
+            hit = (sims >= threshold) & (ii < jj)
+            drop[s:e] |= hit.any(axis=0)
+        keep = drop if keep_flagged else ~drop
+        return t.filter(pa.array(keep)).drop_columns(["_cluster"])
+
+    return (
+        ds.map_batches(
+            Assign,
+            fn_constructor_kwargs={"cref": cref},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby("_cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    )

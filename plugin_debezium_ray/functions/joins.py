@@ -218,3 +218,119 @@ def asof_join_broadcast(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# -------------------------------------------------------- interval join
+
+
+class _IntervalProbe:
+    """Actor-pool probe for the broadcast interval (range) join: the
+    bounded interval table is fetched once per actor and split into
+    numpy (start, end) arrays; each batch sorts its event times once,
+    then every interval becomes TWO binary searches (start, end) whose
+    slice of the sorted order is the match set — O(|intervals|·log
+    batch + |output|) per batch, never the |batch|×|intervals| cross
+    product."""
+
+    def __init__(self, small_ref, on: str, start_col: str, end_col: str):
+        right = ray.get(small_ref)
+        keep = pc.and_(pc.is_valid(right[start_col]),
+                       pc.is_valid(right[end_col]))
+        right = right.filter(keep)
+        self.on = on
+        self.start = right[start_col].to_numpy(zero_copy_only=False)
+        self.end = right[end_col].to_numpy(zero_copy_only=False)
+        self.payload = {
+            c: right[c].combine_chunks()
+            for c in right.column_names if c not in (start_col, end_col)
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            cols = {c: t[c].slice(0, 0) for c in t.column_names}
+            for c, arr in self.payload.items():
+                cols[c] = arr.slice(0, 0)
+            return pa.table(cols)
+
+        n = t.num_rows
+        if n == 0 or len(self.start) == 0:
+            return empty()
+        ts = t[self.on].to_numpy(zero_copy_only=False)
+        valid = ~pd.isna(ts)
+        order = np.argsort(ts, kind="stable")
+        order = order[valid[order]]
+        sorted_ts = ts[order]
+        lo = np.searchsorted(sorted_ts, self.start, side="left")
+        hi = np.searchsorted(sorted_ts, self.end, side="left")  # end excl.
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty()
+        # segmented arange over the matched slices of the sorted order
+        goff = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.repeat(lo, counts) + (
+            np.arange(total, dtype=np.int64) - np.repeat(goff, counts)
+        )
+        left_idx = order[pos]
+        right_idx = np.repeat(
+            np.arange(len(self.start), dtype=np.int64), counts
+        )
+        out = t.take(pa.array(left_idx))
+        cols = {c: out[c] for c in out.column_names}
+        ridx = pa.array(right_idx)
+        for c, arr in self.payload.items():
+            cols[c] = pc.take(arr, ridx)
+        return pa.table(cols)
+
+
+def interval_join_broadcast(
+    big: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    *,
+    on: str,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    small_max_rows: int = 1_000_000,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Range (interval-containment) INNER join: one output row for
+    every ``(big row, interval)`` pair with ``start ≤ big.on < end`` —
+    SQL ``JOIN iv ON e.on >= iv.start AND e.on < iv.end``.  Overlapping
+    intervals multiply-match by definition; rows in no interval (or
+    with null ``on``) are dropped; intervals with null bounds never
+    match.
+
+    Scale shape: the interval table is a bounded reference set
+    (maintenance windows, sessions, experiment epochs) — collected and
+    ``ray.put`` once; the big side streams through a shuffle-free
+    actor-pool ``map_batches``.  Interval payload column names must not
+    collide with big-side names (select/rename before joining)."""
+    from plugin_debezium_ray.smallfetch import fetch_small_table
+
+    small_tbl = fetch_small_table(intervals)
+    if small_tbl.num_rows > small_max_rows:
+        raise ValueError(
+            f"interval side has {small_tbl.num_rows} rows "
+            f"(> small_max_rows={small_max_rows})"
+        )
+    overlap = [
+        c for c in small_tbl.column_names
+        if c not in (start_col, end_col)
+        and c in (big.schema().names or [])
+    ]
+    if overlap:
+        raise ValueError(
+            f"interval payload columns collide with left: {overlap}"
+        )
+    ref = ray.put(small_tbl)
+    return big.map_batches(
+        _IntervalProbe,
+        fn_constructor_kwargs={
+            "small_ref": ref,
+            "on": on,
+            "start_col": start_col,
+            "end_col": end_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -128,6 +129,42 @@ def stratified_sample(
         keys = pd.Series(t[key_col].to_pandas())
         thr = keys.map(thresholds).fillna(default_thr).to_numpy(np.int64)
         return t.filter(pa.array(b < thr))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def threshold_sample(
+    ds: "ray.data.Dataset",
+    *,
+    thr_col: str,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> "ray.data.Dataset":
+    """Weight-proportional deterministic sampling — the importance-
+    resampling primitive (keep each row with probability ∝ a per-row
+    quality/domain weight, as in DSIR-style data selection): a row
+    survives iff ``hash(id) % buckets < thr`` where ``thr_col`` is an
+    INTEGER per-row threshold in [0, buckets] computed upstream (e.g.
+    ``min(n_tokens * 100, buckets)`` for p = min(n_tokens/100, 1)).
+    Keeping thresholds integral makes the rule exact — no float
+    rounding to disagree with the SQL mirror ``hash(id) % buckets <
+    LEAST(...)``.
+
+    Same guarantees as ``hash_split``/``stratified_sample``: pure
+    per-batch map, membership depends only on (id, weight) — stable
+    across reruns and cluster sizes, and monotone in the weight (a row
+    kept at weight w is kept at every weight ≥ w).  Null thresholds
+    drop the row."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (duckdb_hash64(ids) % np.uint64(buckets)).astype(np.int64)
+        # cast first: an all-null column arrives as Arrow's null type,
+        # which fill_null can't target
+        thr = pc.fill_null(
+            pc.cast(t[thr_col], pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(b < thr.astype(np.int64)))
 
     return ds.map_batches(pick, batch_format="pyarrow")
 

@@ -1572,6 +1572,151 @@ class TestAsofJoin:
                                 on="t", by="k", small_max_rows=2)
 
 
+class TestIntervalJoin:
+    def test_containment_overlap_and_nulls(self):
+        import pytest
+
+        from plugin_debezium_ray.functions.joins import (
+            interval_join_broadcast,
+        )
+
+        left = pd.DataFrame({
+            "id": [1, 2, 3, 4, 5],
+            "t": [5.0, 10.0, 15.0, 99.0, None],
+        })
+        iv = pd.DataFrame({
+            "iv_id": [10, 20, 30],
+            "start_ts": [0.0, 8.0, None],
+            "end_ts": [11.0, 20.0, 50.0],
+        })
+        out = (interval_join_broadcast(
+                   ray.data.from_pandas(left).repartition(3),
+                   ray.data.from_pandas(iv), on="t")
+               .to_pandas())
+        got = sorted(zip(out["id"], out["iv_id"]))
+        # start inclusive, end exclusive; overlaps multiply-match;
+        # null t and null-bounded intervals never match; id=4 unmatched
+        assert got == [(1, 10), (2, 10), (2, 20), (3, 20)]
+        with pytest.raises(ValueError, match="collide"):
+            interval_join_broadcast(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(iv.rename(columns={"iv_id": "id"})),
+                on="t")
+
+    def test_matches_sql_range_join(self):
+        import duckdb
+
+        from plugin_debezium_ray.functions.joins import (
+            interval_join_broadcast,
+        )
+
+        rng = np.random.default_rng(23)
+        left = pd.DataFrame({
+            "id": np.arange(3000, dtype=np.int64),
+            "t": rng.integers(0, 10_000, 3000),
+        })
+        starts = rng.integers(0, 10_000, 60)
+        iv = pd.DataFrame({
+            "iv_id": np.arange(60, dtype=np.int64),
+            "start_ts": starts,
+            "end_ts": starts + rng.integers(1, 800, 60),
+        })
+        out = (interval_join_broadcast(
+                   ray.data.from_pandas(left).repartition(5),
+                   ray.data.from_pandas(iv), on="t")
+               .to_pandas())
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("iv", iv)
+        ref = con.execute(
+            "SELECT l.id, iv.iv_id FROM l JOIN iv "
+            "ON l.t >= iv.start_ts AND l.t < iv.end_ts"
+        ).df()
+        assert sorted(zip(out["id"], out["iv_id"])) == \
+            sorted(zip(ref["id"], ref["iv_id"]))
+
+
+class TestThresholdSample:
+    def test_rule_and_monotonicity(self):
+        from plugin_debezium_ray.functions.selection import (
+            duckdb_hash64,
+            threshold_sample,
+        )
+
+        n = 5000
+        ids = np.arange(n, dtype=np.int64)
+        thr_lo = np.where(ids % 2 == 0, 2_000, 7_000).astype(np.int64)
+        df = pd.DataFrame({"doc_id": ids, "_thr": thr_lo})
+        kept = threshold_sample(
+            ray.data.from_pandas(df).repartition(6), thr_col="_thr"
+        ).to_pandas()
+        want = ids[(duckdb_hash64(ids) % np.uint64(10_000)).astype(np.int64)
+                   < thr_lo]
+        assert sorted(kept["doc_id"]) == sorted(want)
+        # monotone: every row kept at thr stays kept at thr + 1000
+        df2 = df.assign(_thr=df["_thr"] + 1000)
+        kept2 = threshold_sample(
+            ray.data.from_pandas(df2), thr_col="_thr").to_pandas()
+        assert set(kept["doc_id"]) <= set(kept2["doc_id"])
+        # null thresholds drop the row
+        df3 = df.astype({"_thr": "Int64"})
+        df3.loc[:, "_thr"] = pd.NA
+        assert threshold_sample(
+            ray.data.from_pandas(df3), thr_col="_thr").count() == 0
+
+
+class TestSemanticDedup:
+    def _planted(self):
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(40, 16)).astype(np.float32)
+        # plant exact duplicates of rows 0..4 at ids 100..104
+        vecs = np.concatenate([base, base[:5]])
+        ids = np.concatenate([np.arange(40), np.arange(100, 105)])
+        return pd.DataFrame({
+            "vec_id": ids.astype(np.int64),
+            "embedding": [v.tolist() for v in vecs],
+        })
+
+    def test_drops_planted_duplicates_keeps_lowest_id(self):
+        from plugin_debezium_ray.functions.dedup import semantic_dedup
+
+        df = self._planted()
+        out = semantic_dedup(
+            ray.data.from_pandas(df).repartition(4),
+            n_clusters=4, threshold=0.95,
+        ).to_pandas()
+        survivors = set(out["vec_id"])
+        assert {100, 101, 102, 103, 104} & survivors == set()
+        assert {0, 1, 2, 3, 4} <= survivors  # originals (lower id) kept
+        # audit view is the exact complement
+        from plugin_debezium_ray.functions.dedup import (
+            semantic_dedup as sd,
+        )
+        flagged = sd(ray.data.from_pandas(df), n_clusters=4,
+                     threshold=0.95, keep_flagged=True).to_pandas()
+        assert set(flagged["vec_id"]) == set(df["vec_id"]) - survivors
+
+    def test_partitioning_invariance(self):
+        from plugin_debezium_ray.functions.dedup import semantic_dedup
+
+        df = self._planted()
+        a = semantic_dedup(ray.data.from_pandas(df).repartition(2),
+                           n_clusters=3, threshold=0.95).to_pandas()
+        b = semantic_dedup(ray.data.from_pandas(df).repartition(9),
+                           n_clusters=3, threshold=0.95).to_pandas()
+        assert sorted(a["vec_id"]) == sorted(b["vec_id"])
+
+    def test_strip_blocking_equals_full_matrix(self):
+        from plugin_debezium_ray.functions.dedup import semantic_dedup
+
+        df = self._planted()
+        a = semantic_dedup(ray.data.from_pandas(df), n_clusters=2,
+                           threshold=0.95).to_pandas()
+        b = semantic_dedup(ray.data.from_pandas(df), n_clusters=2,
+                           threshold=0.95, max_cluster_block=3).to_pandas()
+        assert sorted(a["vec_id"]) == sorted(b["vec_id"])
+
+
 class TestExactQuantiles:
     def test_global_matches_duckdb(self):
         import duckdb

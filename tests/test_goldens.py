@@ -66,6 +66,13 @@ def test_ann_ivf_nprobe_curve_golden():
     assert curve.loc[8] == 1.0
 
 
+def test_semantic_dedup_golden():
+    """SemDeDup survivors at sf0.001, pinned exactly."""
+    want = _golden("dedup_semantic")
+    out = _queries()["dedup_semantic"](SF_DIR).to_pandas()
+    assert sorted(out["vec_id"].tolist()) == want
+
+
 def test_cdc_six_ops_golden():
     """Final lake state of the all-six-ops WAL (c/u/d/r/t/m), pinned:
     truncate deletes, messages mutate nothing — any drift in the op

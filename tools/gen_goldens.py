@@ -78,6 +78,9 @@ def main() -> None:
         "ann_ivf_approx": sorted(
             map(list, qs["ann_ivf_approx"](SF_DIR).itertuples(index=False))
         ),
+        "dedup_semantic": sorted(
+            qs["dedup_semantic"](SF_DIR).to_pandas()["vec_id"].tolist()
+        ),
     }
     for name, data in goldens.items():
         path = os.path.join(OUT, f"{name}.json")
