@@ -981,6 +981,20 @@ def q_sample_weighted(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_text_tfidf(sf_dir: str):
+    """Per-document top-5 tf-idf terms, composed from the engine's own
+    primitives: shuffle-free per-batch (doc, term) counts → ONE term
+    groupby for document frequencies → broadcast-join the DF table back
+    → grouped top-k.  Raw (log-free) idf so the SQL mirror is
+    float-bit-exact."""
+    from plugin_debezium_ray.functions.text import top_terms_by_tfidf
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return top_terms_by_tfidf(docs, k=5)
+
+
 def q_dedup_semantic(sf_dir: str):
     """SemDeDup-style semantic dedup over the embedding table: k-means
     clusters bound the pairwise check; within a cluster, cosine ≥ 0.4
@@ -1188,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "sample_weighted": q_sample_weighted,
+        "text_tfidf": q_text_tfidf,
         "dedup_semantic": q_dedup_semantic,
         "quantiles": q_quantiles,
         "quantiles_by_group": q_quantiles_by_group,
@@ -1510,6 +1525,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, iv.iv_id
             FROM events e JOIN iv
               ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        """,
+        "text_tfidf": """
+            WITH tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS term
+                FROM documents
+                WHERE length(trim(text)) > 0
+            ),
+            tc AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY doc_id, term
+            ),
+            dft AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tc GROUP BY term
+            ),
+            scored AS (
+                SELECT tc.doc_id, tc.term, tc.tf, dft.df,
+                       CAST(tc.tf AS DOUBLE)
+                         * (SELECT count(*) FROM documents) / dft.df AS score
+                FROM tc JOIN dft USING (term)
+            )
+            SELECT doc_id, term, tf, df
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                  FROM scored)
+            WHERE rn <= 5
         """,
         "sample_weighted": """
             WITH c AS (

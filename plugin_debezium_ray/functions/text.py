@@ -300,3 +300,116 @@ class RollingFingerprint:
             )
             out.append(int(vals.min()))
         return t.append_column("fingerprint_rolling", pa.array(out, type=pa.uint64()))
+
+
+# --------------------------------------------------------------- tf-idf
+
+_TFIDF_WORD_RE = re.compile(r"[^\t\n\f\r ]+")  # RE2 \s parity (no \v/NBSP)
+
+
+def doc_term_counts_batch(
+    t: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """One row per (doc, DISTINCT lowercased whitespace token) with its
+    in-doc frequency — the term-statistics primitive.  Null/blank docs
+    emit nothing.  Counting is one pandas groupby-size over the flat
+    token array (C kernel), no per-doc Python loop beyond tokenize."""
+    texts = t[text_col].to_pylist()
+    tokens: list[str] = []
+    doc_rows: list[int] = []
+    counts: list[int] = []
+    for i, tx in enumerate(texts):
+        if tx is None:
+            continue
+        toks = _TFIDF_WORD_RE.findall(tx.lower())
+        if not toks:
+            continue
+        tokens.extend(toks)
+        doc_rows.append(i)
+        counts.append(len(toks))
+    if not doc_rows:
+        return pa.table({
+            id_col: t[id_col].slice(0, 0),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+        })
+    doc_idx = np.repeat(np.asarray(doc_rows, dtype=np.int64), counts)
+    g = (
+        pd.DataFrame({"d": doc_idx, "t": np.array(tokens, dtype=object)})
+        .groupby(["d", "t"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    return pa.table({
+        id_col: pc.take(
+            t[id_col], pa.array(g["d"].to_numpy(np.int64))
+        ),
+        "term": pa.array(g["t"].to_numpy(object), type=pa.string()),
+        "tf": pa.array(g["tf"].to_numpy(np.int64)),
+    })
+
+
+def top_terms_by_tfidf(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf: str = "raw",
+    vocab_max_rows: int = 5_000_000,
+):
+    """The ``k`` most characteristic terms of every document by tf-idf,
+    composed entirely from the engine's own primitives:
+
+      1. ``doc_term_counts_batch`` — shuffle-free (docs never span
+         batches, so per-batch (doc, term) counts are exact)
+      2. document frequencies: ONE ``groupby(term).count()`` (the
+         term-level shuffle a global DF fundamentally needs; input is
+         already distinct per (doc, term))
+      3. the DF table rides back via ``broadcast_join`` (bounded by
+         ``vocab_max_rows`` — raise, don't OOM)
+      4. score + ``grouped_top_k`` per doc (ties → term ascending)
+
+    ``idf="raw"`` scores ``tf · N / df`` with the multiply-then-divide
+    op order mirrored by SQL ``CAST(tf AS DOUBLE) * N / df`` — bit-exact
+    parity for the oracle.  ``idf="log"`` scores the classic
+    ``tf · ln(N / df)`` (what a real pipeline wants; libm ``ln`` is not
+    bit-mirrorable, hence not the oracle default).  Returns
+    ``(id, term, tf, df)`` of the winners."""
+    import ray.data  # noqa: F401  (type only)
+
+    from plugin_debezium_ray.functions.joins import broadcast_join
+    from plugin_debezium_ray.functions.ranking import grouped_top_k
+
+    if idf not in ("raw", "log"):
+        raise ValueError(f"idf must be 'raw' or 'log', got {idf!r}")
+    n_docs = ds.count()
+
+    terms = ds.map_batches(
+        lambda t: doc_term_counts_batch(t, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    dfreq = terms.groupby("term").count()
+
+    def rename_df(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["term", "df"])
+
+    dfreq = dfreq.map_batches(rename_df, batch_format="pyarrow")
+    joined = broadcast_join(
+        terms, dfreq, on="term", small_max_rows=vocab_max_rows
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if idf == "raw":
+            s = tf * float(n_docs) / dfv  # multiply THEN divide (SQL order)
+        else:
+            s = tf * np.log(float(n_docs) / dfv)
+        return t.append_column("score", pa.array(s))
+
+    out = grouped_top_k(
+        joined.map_batches(score, batch_format="pyarrow"),
+        group_col=id_col, score_col="score", id_col="term", k=k,
+    )
+    return out.select_columns([id_col, "term", "tf", "df"])

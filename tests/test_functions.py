@@ -1717,6 +1717,40 @@ class TestSemanticDedup:
         assert sorted(a["vec_id"]) == sorted(b["vec_id"])
 
 
+class TestTfidf:
+    def test_doc_term_counts_batch(self):
+        from plugin_debezium_ray.functions.text import doc_term_counts_batch
+
+        t = pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a B a  c", "b", None, "   "],
+        })
+        out = doc_term_counts_batch(t)
+        got = sorted(zip(out["doc_id"].to_pylist(),
+                         out["term"].to_pylist(),
+                         out["tf"].to_pylist()))
+        assert got == [(1, "a", 2), (1, "b", 1), (1, "c", 1), (2, "b", 1)]
+
+    def test_top_terms_reference_and_log_mode(self):
+        from plugin_debezium_ray.functions.text import top_terms_by_tfidf
+
+        # 'rare' appears only in doc 1 → beats the ubiquitous 'the'
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the the rare", "the the the", "the common common"],
+        })
+        for idf in ("raw", "log"):
+            out = top_terms_by_tfidf(
+                ray.data.from_pandas(df).repartition(3), k=1, idf=idf,
+            ).to_pandas().set_index("doc_id")
+            assert out.loc[1, "term"] == "rare"
+            assert out.loc[3, "term"] == "common"
+            assert out.loc[1, "df"] == 1 and out.loc[1, "tf"] == 1
+        import pytest
+        with pytest.raises(ValueError, match="idf"):
+            top_terms_by_tfidf(ray.data.from_pandas(df), idf="nope")
+
+
 class TestExactQuantiles:
     def test_global_matches_duckdb(self):
         import duckdb
