@@ -884,6 +884,34 @@ def q_join_enrich(sf_dir: str):
     return df
 
 
+def q_join_bigbig(sf_dir: str):
+    """Fact ⋈ fact shuffle join (neither side broadcastable at scale):
+    lineitem ⋈ orders on the order key, then a grouped revenue rollup —
+    the guarded `Dataset.join` path (`shuffle_join`), in contrast to
+    `join_enrich`'s broadcast plan."""
+    from ray.data.aggregate import Count, Sum
+
+    from plugin_debezium_ray.functions.joins import shuffle_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    j = shuffle_join(li, od, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=16)
+    out = j.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_extendedprice", alias_name="revenue"),
+    )
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
 def q_asof_join(sf_dir: str):
     """Event-time as-of enrichment: every event picks up the most
     recent marker event (every 50th event id, deduped per (user, ts))
@@ -1200,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_approx": q_ann_ivf_approx,
         "join_enrich": q_join_enrich,
         "asof_join": q_asof_join,
+        "join_bigbig": q_join_bigbig,
         "interval_join": q_interval_join,
         "sample_weighted": q_sample_weighted,
         "text_tfidf": q_text_tfidf,
@@ -1515,6 +1544,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, m.mark_id
             FROM events e ASOF LEFT JOIN marks m
               ON e.user_id = m.user_id AND e.ts >= m.ts
+        """,
+        "join_bigbig": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o_orderpriority
         """,
         "interval_join": """
             WITH iv AS (

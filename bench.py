@@ -278,6 +278,13 @@ def _suite(sf_dir: str) -> dict[str, float]:
         "text_token_count",
         "ann_brute_force",
         "agg_event_stats",
+        # round-4 additions
+        "asof_join",
+        "interval_join",
+        "quantiles",
+        "text_tfidf",
+        "dedup_semantic",
+        "sample_weighted",
     ]
     qs = E.queries()
     for name in picks:

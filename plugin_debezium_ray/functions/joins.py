@@ -334,3 +334,53 @@ def interval_join_broadcast(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# -------------------------------------------------------- shuffle join
+
+
+def shuffle_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: "str | tuple[str, ...]",
+    right_on: "str | tuple[str, ...] | None" = None,
+    how: str = "inner",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Big-big hash join — the shuffle join for when NEITHER side is a
+    bounded dimension table (fact ⋈ fact: lineitem ⋈ orders, events ⋈
+    events).  Both sides hash-partition on the key and one aggregator
+    actor per partition performs the partition-local join; only key-
+    matched co-partitions ever meet, so the exchange is one pass over
+    each side.
+
+    This wraps ``Dataset.join`` with the guard a shared/local session
+    needs: each join partition is a long-lived 1-CPU aggregator actor,
+    so requesting more partitions than ``cluster CPUs - 2`` DEADLOCKS a
+    small session (observed on Ray 2.49) — ``num_partitions`` is
+    clamped to the session's budget (on a big cluster the requested
+    value wins; size it to cluster CPUs).  Caveat carried from the
+    dedup joins: if an input went through a sort-based ``map_groups``,
+    launder its schema-less empty blocks (e.g. ``repartition``) first —
+    ``Dataset.join`` rejects them.
+
+    Prefer ``broadcast_join`` whenever one side is bounded — it moves
+    nothing; this op moves BOTH sides once."""
+    from plugin_debezium_ray.functions.dedup import _join_parts
+
+    hows = {"inner", "left_outer", "right_outer", "full_outer"}
+    if how not in hows:
+        raise ValueError(f"how must be one of {sorted(hows)}")
+    lkey = (on,) if isinstance(on, str) else tuple(on)
+    rkey = (
+        lkey if right_on is None
+        else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    )
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=_join_parts(num_partitions),
+        on=lkey,
+        right_on=rkey,
+    )

@@ -1572,6 +1572,44 @@ class TestAsofJoin:
                                 on="t", by="k", small_max_rows=2)
 
 
+class TestShuffleJoin:
+    def test_matches_duckdb_inner(self):
+        import duckdb
+
+        from plugin_debezium_ray.functions.joins import shuffle_join
+
+        rng = np.random.default_rng(3)
+        left = pd.DataFrame({
+            "k": rng.integers(0, 50, 800),
+            "v": rng.integers(0, 1000, 800),
+        })
+        right = pd.DataFrame({
+            "rk": rng.integers(0, 60, 300),
+            "w": rng.integers(0, 1000, 300),
+        })
+        out = shuffle_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            on="k", right_on="rk", num_partitions=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        ref = con.execute(
+            "SELECT k, v, w FROM l JOIN r ON l.k = r.rk").df()
+        key = lambda d: sorted(zip(d["k"], d["v"], d["w"]))
+        assert key(out) == key(ref)
+
+    def test_how_validation(self):
+        import pytest
+
+        from plugin_debezium_ray.functions.joins import shuffle_join
+
+        ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError, match="how"):
+            shuffle_join(ds, ds, on="k", how="sideways")
+
+
 class TestIntervalJoin:
     def test_containment_overlap_and_nulls(self):
         import pytest
