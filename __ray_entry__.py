@@ -1041,6 +1041,54 @@ def q_dedup_semantic(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_sample_fixed_per_group(sf_dir: str):
+    """Exactly-n-per-group deterministic sampling: rank each language's
+    docs by hash(doc_id) (a stable pseudo-random order) and keep the
+    first 20 — `grouped_top_k` ascending over the hash, so the shuffle
+    carries ≤ 20 rows per (group, batch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plugin_debezium_ray.functions.ranking import grouped_top_k
+    from plugin_debezium_ray.functions.selection import duckdb_hash64
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def add_order(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # >> 1 keeps the order comparable as SIGNED int64 on both sides
+        h = (duckdb_hash64(ids) >> np.uint64(1)).astype(np.int64)
+        return t.append_column("_order", pa.array(h))
+
+    out = grouped_top_k(
+        docs.map_batches(add_order, batch_format="pyarrow"),
+        group_col="lang", score_col="_order", id_col="doc_id",
+        k=20, ascending=True,
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
+def q_filter_by_quantile(sf_dir: str):
+    """Percentile-gated filter: keep lineitem rows at or above the
+    global 25th-percentile extendedprice (exact cutoff from ONE sort +
+    point lookup), then a small rollup."""
+    from ray.data.aggregate import Count, Min
+
+    from plugin_debezium_ray.functions.quantiles import filter_by_quantile
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    kept = filter_by_quantile(ds, "l_extendedprice", 0.25)
+    return kept.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_kept"),
+        Min("l_extendedprice", alias_name="min_price"),
+    )
+
+
 def q_quantiles(sf_dir: str):
     """Exact distributed quantiles (one sort + block-count selection,
     point lookups only — the driver never sees rows)."""
@@ -1235,6 +1283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": q_dedup_semantic,
         "quantiles": q_quantiles,
         "quantiles_by_group": q_quantiles_by_group,
+        "sample_fixed_per_group": q_sample_fixed_per_group,
+        "filter_by_quantile": q_filter_by_quantile,
         "ann_quantize": q_ann_quantize,
         "agg_approx_distinct": q_agg_approx_distinct,
         "agg_event_stats": q_agg_event_stats,
@@ -1609,6 +1659,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem
             UNION ALL
             SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+        """,
+        "sample_fixed_per_group": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY CAST(hash(doc_id) >> 1 AS BIGINT), doc_id
+                ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
+        "filter_by_quantile": """
+            WITH c AS (
+                SELECT quantile_disc(l_extendedprice, 0.25) AS cut
+                FROM lineitem
+            )
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+                   min(l_extendedprice) AS min_price
+            FROM lineitem, c
+            WHERE l_extendedprice >= cut
+            GROUP BY l_returnflag
         """,
         "quantiles_by_group": """
             SELECT l_returnflag, 0.5 AS q,

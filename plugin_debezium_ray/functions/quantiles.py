@@ -57,6 +57,38 @@ def _rank(q: float, n: int) -> int:
     return max(1, math.ceil(Fraction(str(q)) * n))
 
 
+def filter_by_quantile(
+    ds: "ray.data.Dataset",
+    col: str,
+    q: float,
+    *,
+    keep: str = "above",
+) -> "ray.data.Dataset":
+    """Percentile-gated filter (the quality-floor / outlier-cap step of
+    a data pipeline): compute the exact q-quantile of ``col`` once (one
+    sort + a point lookup — see ``exact_quantiles``), then stream the
+    dataset through a shuffle-free filter against the scalar cutoff.
+    ``keep="above"`` keeps rows with ``col >= cutoff``; ``"below"``
+    keeps ``col <= cutoff``.  Null values never pass."""
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    qdf = exact_quantiles(ds, col, [q])
+    if len(qdf) == 0:
+        # no non-null values at all: nothing passes
+        return ds.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow"
+        )
+    cutoff = qdf["value"].iloc[0]
+
+    def gate(t: pa.Table) -> pa.Table:
+        c = t[col]
+        cmp = pc.greater_equal(c, cutoff) if keep == "above" \
+            else pc.less_equal(c, cutoff)
+        return t.filter(pc.fill_null(cmp, False))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 @ray.remote
 def _block_runs(tbl: pa.Table, by: "str | None"):
     """Group runs of one sorted block: [(group, start_row, count)].

@@ -282,28 +282,67 @@ class _Decontaminator:
 
     def __init__(self, bench_ref, k: int, min_overlaps: int,
                  text_col: str, keep_contaminated: bool):
-        self.b0, self.b1 = ray.get(bench_ref)
+        payload = ray.get(bench_ref)
+        if len(payload) == 2:  # exact: two sorted hash lanes
+            self.b0, self.b1 = payload
+            self.bloom = None
+            self.has_grams = len(self.b0) > 0
+        else:  # bloom: (bit array, n_bits, n_probes, non_empty flag)
+            self.bloom, self.bits, self.probes, nonempty = payload
+            self.b0 = self.b1 = None
+            self.has_grams = bool(nonempty)
         self.k = k
         self.min_overlaps = min_overlaps
         self.text_col = text_col
         self.keep_contaminated = keep_contaminated
 
+    def _hits(self, h0: np.ndarray, h1: np.ndarray) -> np.ndarray:
+        if self.bloom is None:
+            pos = np.searchsorted(self.b0, h0)
+            pos_ok = pos < len(self.b0)
+            safe = np.minimum(pos, len(self.b0) - 1)
+            return pos_ok & (self.b0[safe] == h0) & (self.b1[safe] == h1)
+        hit = np.ones(len(h0), dtype=bool)
+        bits = np.uint64(self.bits)
+        for i in range(self.probes):  # Kirsch–Mitzenmacher double hashing
+            idx = (h0 + np.uint64(i) * h1) % bits
+            hit &= (
+                (self.bloom[(idx >> np.uint64(3)).astype(np.int64)]
+                 >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+            ).astype(bool)
+        return hit
+
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
         overlaps = np.zeros(n, dtype=np.int64)
-        if len(self.b0):
+        if self.has_grams:
             doc_idx, h0, h1 = _doc_gram_lanes(
                 t[self.text_col].to_pylist(), self.k
             )
             if len(h0):
-                pos = np.searchsorted(self.b0, h0)
-                pos_ok = pos < len(self.b0)
-                safe = np.minimum(pos, len(self.b0) - 1)
-                hit = pos_ok & (self.b0[safe] == h0) & (self.b1[safe] == h1)
+                hit = self._hits(h0, h1)
                 np.add.at(overlaps, doc_idx[hit], 1)
         contaminated = overlaps >= self.min_overlaps
         keep = contaminated if self.keep_contaminated else ~contaminated
         return t.filter(pa.array(keep))
+
+
+def build_gram_bloom(
+    b0: np.ndarray, b1: np.ndarray, *, n_bits: int, n_probes: int
+) -> np.ndarray:
+    """Bloom bit array over the benchmark gram lanes; probe i addresses
+    bit ``(h0 + i·h1) % n_bits`` (double hashing — the two independent
+    lanes already exist, no extra hashing pass)."""
+    arr = np.zeros(n_bits // 8, dtype=np.uint8)
+    bits = np.uint64(n_bits)
+    for i in range(n_probes):
+        idx = (b0 + np.uint64(i) * b1) % bits
+        np.bitwise_or.at(
+            arr,
+            (idx >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+        )
+    return arr
 
 
 def decontaminate(
@@ -314,6 +353,9 @@ def decontaminate(
     min_overlaps: int = 1,
     text_col: str = "text",
     keep_contaminated: bool = False,
+    gram_filter: str = "exact",
+    bloom_bits: int = 1 << 24,
+    bloom_probes: int = 4,
     concurrency=(1, 8),
 ) -> "ray.data.Dataset":
     """Benchmark decontamination: drop every document whose text shares
@@ -327,8 +369,30 @@ def decontaminate(
     shuffle-free actor-pool ``map_batches`` whose per-batch work is a
     vectorized sorted-array membership probe.  Gram semantics match
     ``ngram_jaccard_pairs_exact`` (lowercase, whitespace tokens,
-    distinct grams), so the op is SQL-mirrorable via a gram join."""
-    bench_ref = ray.put(benchmark_gram_hashes(bench_ds, k=k, text_col=text_col))
+    distinct grams), so the op is SQL-mirrorable via a gram join.
+
+    ``gram_filter="bloom"`` swaps the sorted-lane probe for a Bloom bit
+    array of fixed size ``bloom_bits`` — the broadcast no longer grows
+    with the benchmark's gram count (a huge multi-benchmark union still
+    ships as ``bloom_bits/8`` bytes).  One-sided error by construction:
+    every contaminated gram still hits (no false negatives — nothing
+    contaminated survives), a false-positive bit pattern can only
+    over-drop; size ``bloom_bits ≳ 16 × grams`` to keep the per-gram FP
+    rate negligible."""
+    b0, b1 = benchmark_gram_hashes(bench_ds, k=k, text_col=text_col)
+    if gram_filter == "exact":
+        payload = (b0, b1)
+    elif gram_filter == "bloom":
+        if bloom_bits % 8:
+            raise ValueError("bloom_bits must be a multiple of 8")
+        payload = (
+            build_gram_bloom(b0, b1, n_bits=bloom_bits,
+                             n_probes=bloom_probes),
+            bloom_bits, bloom_probes, int(len(b0) > 0),
+        )
+    else:
+        raise ValueError(f"gram_filter must be 'exact' or 'bloom'")
+    bench_ref = ray.put(payload)
     return docs_ds.map_batches(
         _Decontaminator,
         fn_constructor_kwargs={

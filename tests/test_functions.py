@@ -999,6 +999,39 @@ class TestSelection:
         bench = ray.data.from_pandas(df[df.doc_id < 0])
         kept = sel.decontaminate(docs, bench, k=5).to_pandas()
         assert sorted(kept["doc_id"]) == [0, 1, 2, 3, 4, 5]
+        # bloom mode on an empty benchmark also keeps everything
+        kept_b = sel.decontaminate(docs, bench, k=5,
+                                   gram_filter="bloom").to_pandas()
+        assert sorted(kept_b["doc_id"]) == [0, 1, 2, 3, 4, 5]
+
+    def test_decontaminate_bloom_mode(self):
+        """The fixed-size Bloom broadcast: equals the exact probe at a
+        generous size, and NEVER false-negative at a tiny one (every
+        exact-mode drop is also dropped by bloom — one-sided error)."""
+        import pytest
+
+        from plugin_debezium_ray.functions import selection as sel
+
+        df = self._decon_corpus()
+        docs = ray.data.from_pandas(df)
+        bench = ray.data.from_pandas(df[df.doc_id == 0])
+        exact = set(sel.decontaminate(docs, bench, k=5)
+                    .to_pandas()["doc_id"])
+        roomy = set(sel.decontaminate(docs, bench, k=5,
+                                      gram_filter="bloom",
+                                      bloom_bits=1 << 20)
+                    .to_pandas()["doc_id"])
+        assert roomy == exact
+        tiny = set(sel.decontaminate(docs, bench, k=5,
+                                     gram_filter="bloom",
+                                     bloom_bits=64, bloom_probes=2)
+                   .to_pandas()["doc_id"])
+        assert tiny <= exact  # may over-drop, never under-drop
+        with pytest.raises(ValueError, match="gram_filter"):
+            sel.decontaminate(docs, bench, gram_filter="nope")
+        with pytest.raises(ValueError, match="multiple of 8"):
+            sel.decontaminate(docs, bench, gram_filter="bloom",
+                              bloom_bits=13)
 
     def test_stratified_sample_nested_and_deterministic(self):
         from plugin_debezium_ray.functions import selection as sel
