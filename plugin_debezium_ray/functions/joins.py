@@ -98,6 +98,19 @@ def broadcast_join(
     )
 
 
+def _names_without_execution(ds: "ray.data.Dataset") -> list:
+    """Column names for a collision check WITHOUT executing the plan: a
+    plain ``schema()`` on a lazy Dataset runs a limit-1 sub-plan that
+    re-executes the upstream (measured in smallfetch.py).  When names
+    aren\'t statically known the guard is skipped — a genuine collision
+    then surfaces as Arrow\'s duplicate-column error in the first batch."""
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+    except TypeError:  # older signature
+        return []
+    return list(sch.names) if sch is not None else []
+
+
 # ----------------------------------------------------------- asof join
 
 
@@ -114,6 +127,10 @@ class _AsofProbe:
     def __init__(self, small_ref, on: str, by: "str | None",
                  direction: str, allow_exact_matches: bool):
         right = ray.get(small_ref)  # zero-copy plasma mmap
+        keep = pc.is_valid(right[on])
+        if by is not None:
+            keep = pc.and_(keep, pc.is_valid(right[by]))
+        right = right.filter(keep)  # null right keys can never match
         self.on = on
         self.by = by
         self.direction = direction
@@ -134,17 +151,24 @@ class _AsofProbe:
         n = t.num_rows
         ridx = np.full(n, -1, dtype=np.int64)
         if n:
-            ldf = pd.DataFrame({self.on: t[self.on].to_pandas()})
-            if self.by is not None:
-                ldf[self.by] = t[self.by].to_pandas()
-            ldf["_lidx"] = np.arange(n, dtype=np.int64)
             # null on/by keys never match (SQL join-key semantics), and
-            # merge_asof refuses null keys outright — probe valid rows
-            valid = ldf[self.on].notna()
+            # merge_asof refuses null keys outright — filter BEFORE the
+            # pandas conversion: an int64 key column with one null would
+            # otherwise convert to float64 and MergeError against the
+            # int64 right frame
+            valid = pc.is_valid(t[self.on])
             if self.by is not None:
-                valid &= ldf[self.by].notna()
-            lv = ldf[valid].sort_values(self.on, kind="stable")
-            if len(lv):
+                valid = pc.and_(valid, pc.is_valid(t[self.by]))
+            lidx = np.flatnonzero(
+                valid.to_numpy(zero_copy_only=False).astype(bool)
+            )
+            if len(lidx):
+                tv = t.take(pa.array(lidx))
+                ldf = pd.DataFrame({self.on: tv[self.on].to_pandas()})
+                if self.by is not None:
+                    ldf[self.by] = tv[self.by].to_pandas()
+                ldf["_lidx"] = lidx
+                lv = ldf.sort_values(self.on, kind="stable")
                 m = pd.merge_asof(
                     lv, self.rdf, on=self.on, by=self.by,
                     direction=self.direction,
@@ -199,9 +223,10 @@ def asof_join_broadcast(
             f"asof broadcast side has {small_tbl.num_rows} rows "
             f"(> small_max_rows={small_max_rows})"
         )
+    big_names = _names_without_execution(big)
     overlap = [
         c for c in small_tbl.column_names
-        if c not in (on, by) and c in (big.schema().names or [])
+        if c not in (on, by) and c in big_names
     ]
     if overlap:
         raise ValueError(f"right payload columns collide with left: {overlap}")
@@ -236,6 +261,9 @@ class _IntervalProbe:
         right = ray.get(small_ref)
         keep = pc.and_(pc.is_valid(right[start_col]),
                        pc.is_valid(right[end_col]))
+        # inverted intervals (end <= start) can never contain a point —
+        # dropping them here also keeps hi - lo non-negative below
+        keep = pc.and_(keep, pc.greater(right[end_col], right[start_col]))
         right = right.filter(keep)
         self.on = on
         self.start = right[start_col].to_numpy(zero_copy_only=False)
@@ -262,7 +290,7 @@ class _IntervalProbe:
         sorted_ts = ts[order]
         lo = np.searchsorted(sorted_ts, self.start, side="left")
         hi = np.searchsorted(sorted_ts, self.end, side="left")  # end excl.
-        counts = hi - lo
+        counts = np.maximum(hi - lo, 0)  # belt: never negative
         total = int(counts.sum())
         if total == 0:
             return empty()
@@ -313,10 +341,10 @@ def interval_join_broadcast(
             f"interval side has {small_tbl.num_rows} rows "
             f"(> small_max_rows={small_max_rows})"
         )
+    big_names = _names_without_execution(big)
     overlap = [
         c for c in small_tbl.column_names
-        if c not in (start_col, end_col)
-        and c in (big.schema().names or [])
+        if c not in (start_col, end_col) and c in big_names
     ]
     if overlap:
         raise ValueError(

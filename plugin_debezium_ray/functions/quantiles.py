@@ -38,14 +38,9 @@ import ray
 import ray.data
 
 
-def _null_fill_scalar(typ: pa.DataType) -> pa.Scalar:
-    """A typed placeholder for null sort keys (any constant works — the
-    leading is-null flag already separates null groups)."""
-    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-        return pa.scalar("", typ)
-    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
-        return pa.scalar(b"", typ)
-    return pc.cast(pa.scalar(0), typ)
+# pickle-stable sentinel for NaN group keys (value-equal across tasks,
+# unlike float('nan') objects, whose equality and hashing both break)
+_NAN_KEY = ("__exact_quantiles_nan_group__",)
 
 
 def _rank(q: float, n: int) -> int:
@@ -103,8 +98,18 @@ def _block_runs(tbl: pa.Table, by: "str | None"):
         # null groups: object path (numeric nulls surface as NaN in
         # numpy, and NaN != NaN would split one group into n runs)
         g = np.array(gc.to_pylist(), dtype=object)
+        isnan = np.array(
+            [isinstance(x, float) and x != x for x in g], dtype=bool
+        )
     else:
         g = gc.to_numpy(zero_copy_only=False)
+        isnan = np.isnan(g) if g.dtype.kind == "f" else None
+    if isnan is not None and isnan.any():
+        # true NaN values (non-null) are ONE group in SQL GROUP BY, but
+        # NaN != NaN both in numpy run detection and as dict keys —
+        # substitute a value-equal sentinel, mapped back on the driver
+        g = g.astype(object)
+        g[isnan] = _NAN_KEY
     change = np.flatnonzero(g[1:] != g[:-1]) + 1
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [n]])
@@ -127,39 +132,52 @@ def exact_quantiles(
 ) -> pd.DataFrame:
     """Exact discrete quantiles of ``col`` — globally, or per group of
     ``by``.  Returns a small DataFrame ``(q, value)`` (plus the group
-    column first when ``by`` is given), sorted by (group, q).  Null
+    column first when ``by`` is given), q-ordered within each group (group order is an
+    implementation detail — a hash order; sort the small result if you
+    need value order).  Null
     values are ignored (SQL aggregate semantics); null GROUPS form
     their own group; a group with no non-null values is absent — both
     exactly ``GROUP BY`` + ``quantile_disc``.
 
     The result is driver-side by design: quantile output is O(groups ×
     len(qs)) scalars, the classic small-answer/huge-input aggregate."""
+    bad_q = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad_q:
+        # a q > 1 would otherwise walk past every group's span and
+        # silently emit nothing (q=25 for "25th percentile" deletes the
+        # whole corpus through filter_by_quantile) — fail loudly instead
+        raise ValueError(f"quantiles must be in [0, 1]: {bad_q}")
     cols = [col] if by is None else [by, col]
 
     def dropnull(t: pa.Table) -> pa.Table:
         t = t.select(cols).filter(pc.is_valid(t[col]))
         if by is not None:
-            # Ray's range sort cannot partition on null keys — lead the
-            # sort with an is-null flag + a typed fill, which keeps null
-            # groups contiguous (sorted last) in the same single pass;
-            # run detection still reads the REAL group column
-            t = t.append_column(
-                "_gn", pc.cast(pc.is_null(t[by]), pa.int8())
-            ).append_column(
-                "_gf", pc.coalesce(t[by], _null_fill_scalar(t[by].type))
-            )
+            # the sort only needs every group CONTIGUOUS, not in any
+            # meaningful order — sort by a uint64 HASH of the group
+            # value: one fixed dtype for every key type (Ray's range
+            # sort cannot partition on null string keys, and a typed
+            # fill breaks on date/decimal/null-typed blocks), and even
+            # a hash collision stays correct — the colliding groups'
+            # rows interleave but each group's own rows remain ordered
+            # by ``col``, and run detection reads the REAL column
+            vals = np.empty(t.num_rows, dtype=object)
+            for i, v in enumerate(t[by].to_pylist()):
+                vals[i] = v
+            gf = (pd.util.hash_array(vals) if t.num_rows
+                  else np.empty(0, dtype=np.uint64))
+            t = t.append_column("_gf", pa.array(gf))
         return t
 
     cleaned = ds.map_batches(dropnull, batch_format="pyarrow")
     # materialize before to_arrow_refs: on a lazy Dataset the refs call
     # re-executes the whole upstream sort for its internal schema probe
-    sort_keys = [col] if by is None else ["_gn", "_gf", col]
+    sort_keys = [col] if by is None else ["_gf", col]
     refs = cleaned.sort(sort_keys).materialize().to_arrow_refs()
     runs_per_block = ray.get([_block_runs.remote(r, by) for r in refs])
 
     # fold runs (arriving in global sorted order) into per-group spans
     spans: dict = {}  # group -> list[(block_i, start, count)]
-    order: list = []  # first-seen order == sorted group order
+    order: list = []  # first-seen (hash-sorted) group order
     for bi, runs in enumerate(runs_per_block):
         for g, start, cnt in runs:
             if g not in spans:
@@ -191,8 +209,9 @@ def exact_quantiles(
         for off, v in zip(offs, vals)
     }
     rows = [
-        {**({by: g} if by is not None else {}), "q": q,
-         "value": values[(bi, off)]}
+        {**({by: (float("nan") if g == _NAN_KEY else g)}
+            if by is not None else {}),
+         "q": q, "value": values[(bi, off)]}
         for g, q, bi, off in slots
     ]
     out_cols = ([by] if by is not None else []) + ["q", "value"]

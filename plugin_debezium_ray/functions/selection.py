@@ -298,10 +298,20 @@ class _Decontaminator:
 
     def _hits(self, h0: np.ndarray, h1: np.ndarray) -> np.ndarray:
         if self.bloom is None:
-            pos = np.searchsorted(self.b0, h0)
-            pos_ok = pos < len(self.b0)
-            safe = np.minimum(pos, len(self.b0) - 1)
-            return pos_ok & (self.b0[safe] == h0) & (self.b1[safe] == h1)
+            lo = np.searchsorted(self.b0, h0, side="left")
+            hi = np.searchsorted(self.b0, h0, side="right")
+            runs = hi - lo
+            hit = np.zeros(len(h0), dtype=bool)
+            one = runs == 1  # the overwhelmingly common case, vectorized
+            safe = np.minimum(lo, len(self.b0) - 1)
+            hit[one] = self.b1[safe[one]] == h1[one]
+            # two DISTINCT benchmark grams colliding on the h0 lane sit
+            # adjacent in the sorted pairs; checking only position lo
+            # would hide the later ones (a false NEGATIVE — contaminated
+            # text surviving).  Runs > 1 are 2⁻⁶⁴-scale rare: scan them.
+            for i in np.flatnonzero(runs > 1):
+                hit[i] = bool(np.any(self.b1[lo[i]:hi[i]] == h1[i]))
+            return hit
         hit = np.ones(len(h0), dtype=bool)
         bits = np.uint64(self.bits)
         for i in range(self.probes):  # Kirsch–Mitzenmacher double hashing

@@ -157,11 +157,15 @@ def ion_dumps(value) -> str:
         return f'"{_duration_repr(value)}"'
     if hasattr(value, "months") and hasattr(value, "nanoseconds"):
         # pyarrow MonthDayNano interval (the Debezium interval logical
-        # type) — ISO-8601 period string, no native Ion equivalent
+        # type) — ISO-8601 period string, no native Ion equivalent.
+        # sign/abs BEFORE divmod: floor division on a negative ns count
+        # would render -1 ns as "-1.999999999S"
         ns = value.nanoseconds
+        sign = "-" if ns < 0 else ""
+        ns = abs(ns)
         return (
             f'"P{value.months}M{value.days}D'
-            f'T{ns // 1_000_000_000}.{ns % 1_000_000_000:09d}S"'
+            f'T{sign}{ns // 1_000_000_000}.{ns % 1_000_000_000:09d}S"'
         )
     if isinstance(value, (bytes, bytearray, memoryview)):
         return "{{" + base64.b64encode(bytes(value)).decode() + "}}"

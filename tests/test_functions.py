@@ -1605,6 +1605,125 @@ class TestAsofJoin:
                                 on="t", by="k", small_max_rows=2)
 
 
+class TestReviewRegressionsR4:
+    """Pins for the round-4 self-review findings."""
+
+    def test_asof_nullable_int_keys_no_dtype_crash(self):
+        # an int64 key column with one null must not flip to float64 and
+        # MergeError against the int64 right frame — nulls just never match
+        from plugin_debezium_ray.functions.joins import asof_join_broadcast
+
+        left = pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array([1, None, 1], pa.int64()),
+            "t": pa.array([5, 5, None], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([1, None], pa.int64()),
+            "t": pa.array([4, 1], pa.int64()),
+            "mark": pa.array([100, 999], pa.int64()),
+        })
+        out = (asof_join_broadcast(
+                   ray.data.from_arrow(left), ray.data.from_arrow(right),
+                   on="t", by="k")
+               .to_pandas().set_index("id")["mark"])
+        assert out[1] == 100 and pd.isna(out[2]) and pd.isna(out[3])
+        assert 999 not in set(out.dropna())  # null RIGHT keys never match
+
+    def test_interval_inverted_bounds_ignored(self):
+        from plugin_debezium_ray.functions.joins import (
+            interval_join_broadcast,
+        )
+
+        left = pd.DataFrame({"id": [1, 2], "t": [5.0, 15.0]})
+        iv = pd.DataFrame({
+            "iv_id": [10, 20],
+            "start_ts": [20.0, 0.0],   # first interval is INVERTED
+            "end_ts": [0.0, 30.0],
+        })
+        out = (interval_join_broadcast(
+                   ray.data.from_pandas(left), ray.data.from_pandas(iv),
+                   on="t")
+               .to_pandas())
+        assert sorted(zip(out["id"], out["iv_id"])) == [(1, 20), (2, 20)]
+
+    def test_quantiles_date_group_key(self):
+        import datetime as dt
+
+        from plugin_debezium_ray.functions.quantiles import exact_quantiles
+
+        t = pa.table({
+            "d": pa.array([dt.date(2026, 1, 1)] * 3 + [dt.date(2026, 1, 2)] * 2),
+            "x": pa.array([3, 1, 2, 10, 20], pa.int64()),
+        })
+        out = exact_quantiles(ray.data.from_arrow(t), "x", [0.5], by="d")
+        # pandas renders date32 cells as Timestamps — compare as dates
+        got = {pd.Timestamp(d).date(): v
+               for d, v in zip(out["d"], out["value"])}
+        assert got == {dt.date(2026, 1, 1): 2, dt.date(2026, 1, 2): 10}
+
+    def test_quantiles_nan_group_is_one_group(self):
+        from plugin_debezium_ray.functions.quantiles import exact_quantiles
+
+        df = pd.DataFrame({
+            "g": [1.0, 1.0, np.nan, np.nan, np.nan],
+            "x": [5, 7, 1, 2, 3],
+        })
+        out = exact_quantiles(
+            ray.data.from_pandas(df).repartition(3), "x", [1.0], by="g")
+        assert len(out) == 2  # NaN rows form ONE group, not one per row
+        nan_rows = out[out["g"].isna()]
+        assert len(nan_rows) == 1 and nan_rows["value"].iloc[0] == 3
+
+    def test_quantile_q_validation(self):
+        import pytest
+
+        from plugin_debezium_ray.functions.quantiles import (
+            exact_quantiles,
+            filter_by_quantile,
+        )
+
+        ds = ray.data.from_pandas(pd.DataFrame({"x": [1, 2, 3]}))
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            exact_quantiles(ds, "x", [0.5, 25])
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            filter_by_quantile(ds, "x", 25)  # "25th percentile" typo guard
+        with pytest.raises(ValueError, match="keep"):
+            filter_by_quantile(ds, "x", 0.25, keep="sideways")
+
+    def test_ion_negative_interval_nanoseconds(self):
+        import pyarrow as _pa
+
+        from plugin_debezium_ray.serde import ion_dumps
+
+        assert ion_dumps(_pa.MonthDayNano([0, 0, -1])) == \
+            '"P0M0DT-0.000000001S"'
+        assert ion_dumps(_pa.MonthDayNano([1, -2, -1_500_000_000])) == \
+            '"P1M-2DT-1.500000000S"'
+
+    def test_decontaminate_h0_collision_run_scan(self):
+        # two DISTINCT benchmark grams sharing an h0 value: the probe
+        # must scan the whole equal-h0 run, not just its first entry
+        from plugin_debezium_ray.functions.selection import _Decontaminator
+
+        import ray as _ray
+
+        payload = (
+            np.array([7, 7, 9], dtype=np.uint64),     # b0 with a dup run
+            np.array([100, 200, 300], dtype=np.uint64),
+        )
+        probe = _Decontaminator(
+            _ray.put(payload), k=5, min_overlaps=1,
+            text_col="text", keep_contaminated=False,
+        )
+        h0 = np.array([7, 7, 9, 8], dtype=np.uint64)
+        h1 = np.array([200, 101, 300, 300], dtype=np.uint64)
+        got = probe._hits(h0, h1)
+        # [7,200] matches the SECOND entry of the run; [7,101] matches
+        # neither; [9,300] single-entry hit; [8,*] absent
+        assert got.tolist() == [True, False, True, False]
+
+
 class TestShuffleJoin:
     def test_matches_duckdb_inner(self):
         import duckdb
