@@ -166,8 +166,30 @@ def cmd_history(args) -> dict:
 def cmd_vacuum(args) -> dict:
     from plugin_debezium_ray.state.vacuum import vacuum
 
-    out = vacuum(args.lake, keep_manifests=args.keep, dry_run=args.dry_run)
+    out = vacuum(args.lake, keep_manifests=args.keep,
+                 keep_every=args.keep_every, dry_run=args.dry_run)
     return {"command": "vacuum", **out}
+
+
+def cmd_mv(args) -> dict:
+    """Refresh (or cold-build) an incremental materialized aggregate of
+    the lake — re-reads only buckets rewritten since the last refresh."""
+    from plugin_debezium_ray.pipelines.mv import MaterializedAggregate
+
+    _init_ray()
+    mv = MaterializedAggregate(
+        args.lake, group_col=args.group, sum_col=args.sum
+    )
+    rows = mv.refresh()
+    return {
+        "command": "mv",
+        "lake": args.lake,
+        "group_col": args.group,
+        "sum_col": args.sum,
+        "buckets_recomputed": mv.last_recomputed,
+        "groups": len(rows),
+        "rows": rows,
+    }
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -229,8 +251,18 @@ def main(argv: list[str] | None = None) -> int:
     vp = sub.add_parser("vacuum", help="GC old commits of a lake")
     vp.add_argument("--lake", required=True)
     vp.add_argument("--keep", type=int, default=1)
+    vp.add_argument("--keep-every", type=int, default=None,
+                    help="also retain every Mth version (sparse history)")
     vp.add_argument("--dry-run", action="store_true")
     vp.set_defaults(fn=cmd_vacuum)
+
+    mp = sub.add_parser(
+        "mv", help="refresh an incremental materialized aggregate"
+    )
+    mp.add_argument("--lake", required=True)
+    mp.add_argument("--group", required=True, help="group-by column")
+    mp.add_argument("--sum", default=None, help="optional sum column")
+    mp.set_defaults(fn=cmd_mv)
 
     args = p.parse_args(argv)
     out = args.fn(args)

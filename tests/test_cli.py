@@ -130,3 +130,21 @@ def test_history_command(capsys, tmp_path, wal_and_snap):
     hist = run_cli(capsys, "history", "--lake", lake)
     assert [v["version"] for v in hist["versions"]] == [1]
     assert hist["versions"][0]["buckets"] > 0
+
+
+def test_cli_mv_refresh(capsys, tmp_path, wal_and_snap):
+    wal, snap = wal_and_snap
+    lake = str(tmp_path / "mvlake")
+    run_cli(capsys, "replay", "--wal", wal, "--lake", lake,
+            "--snapshot", snap, "--num-buckets", "8")
+    out = run_cli(capsys, "mv", "--lake", lake, "--group", "lang",
+                  "--sum", "lsn")
+    assert out["command"] == "mv" and out["groups"] > 0
+    assert out["buckets_recomputed"] > 0
+    total_rows = sum(r["n_rows"] for r in out["rows"])
+    assert total_rows > 0
+    # second refresh with no new commit touches nothing
+    again = run_cli(capsys, "mv", "--lake", lake, "--group", "lang",
+                    "--sum", "lsn")
+    assert again["buckets_recomputed"] == 0
+    assert again["rows"] == out["rows"]

@@ -74,3 +74,13 @@ def test_mv_empty_lake(tmp_path):
     mv = MaterializedAggregate(str(tmp_path), group_col="lang")
     assert mv.refresh() == []
     assert mv.last_recomputed == 0
+
+
+def test_mv_streaming_engine(tmp_path):
+    """The actor-pool (streaming) apply writes the same manifest
+    contract, so the MV maintains over it identically."""
+    job = ReplayJob(CaptureConfig(num_buckets=8), str(tmp_path))
+    job.run_streaming(binlog(3000, 300, seed=13))
+    mv = MaterializedAggregate(str(tmp_path), group_col="lang",
+                               sum_col="lsn")
+    assert _as_map(mv.refresh()) == _direct(job)
