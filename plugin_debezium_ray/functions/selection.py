@@ -221,8 +221,12 @@ def _doc_gram_lanes(
     gpos = np.repeat(toff, gcounts) + (
         np.arange(total, dtype=np.int64) - np.repeat(goff, gcounts)
     )
-    h0 = th0[gpos]  # fancy indexing already copies
-    h1 = th1[gpos]
+    # mix the FIRST token before rolling: starting from the raw token
+    # hash would make step one sm64(t1 ^ t2) — symmetric in the first
+    # two tokens, so "a b c d e" and "b a c d e" would collide in BOTH
+    # lanes (found as a real sf0.001 false positive, doc 147)
+    h0 = splitmix64(th0[gpos])
+    h1 = splitmix64(th1[gpos])
     for j in range(1, k):
         h0 = splitmix64(h0 ^ th0[gpos + j])
         h1 = splitmix64(h1 ^ th1[gpos + j])

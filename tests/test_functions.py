@@ -1701,6 +1701,21 @@ class TestReviewRegressionsR4:
         assert ion_dumps(_pa.MonthDayNano([1, -2, -1_500_000_000])) == \
             '"P1M-2DT-1.500000000S"'
 
+    def test_decontaminate_rolled_gram_not_swap_symmetric(self):
+        """Grams differing only by swapping their first two tokens must
+        NOT collide: an unmixed rolling start made sm64(t1 ^ t2)
+        symmetric and flagged 'stream data query ...' as contaminated by
+        a benchmark containing 'data stream query ...' (real sf0.001
+        false positive)."""
+        from plugin_debezium_ray.functions.selection import _doc_gram_lanes
+
+        _, a0, a1 = _doc_gram_lanes(["stream data query fast agg"], 5)
+        _, b0, b1 = _doc_gram_lanes(["data stream query fast agg"], 5)
+        assert (int(a0[0]), int(a1[0])) != (int(b0[0]), int(b1[0]))
+        # and equal sequences still hash equal
+        _, c0, c1 = _doc_gram_lanes(["stream data query fast agg"], 5)
+        assert (int(a0[0]), int(a1[0])) == (int(c0[0]), int(c1[0]))
+
     def test_decontaminate_h0_collision_run_scan(self):
         # two DISTINCT benchmark grams sharing an h0 value: the probe
         # must scan the whole equal-h0 run, not just its first entry
