@@ -939,6 +939,44 @@ def q_join_enrich(sf_dir: str):
     return df
 
 
+def q_asof_join_big(sf_dir: str):
+    """Big-big as-of join (co-partitioned, ONE groupby shuffle): the
+    marks stream is corpus-scale here (every 10th event), so the
+    broadcast variant's bounded-right contract doesn't apply — both
+    sides hash-partition by user and each group runs one vectorized
+    binary search."""
+    import pyarrow as pa
+
+    from plugin_debezium_ray.functions.joins import asof_join_shuffle
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+
+    def is_mark(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rem = pc.subtract(
+            t["event_id"],
+            pc.multiply(pc.divide(t["event_id"], 10), 10),
+        )
+        return t.filter(pc.equal(rem, pa.scalar(0, pa.int64())))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "ts", "mark_id"])
+
+    marks = (
+        ev.map_batches(is_mark, batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .max("event_id")
+        .map_batches(rename, batch_format="pyarrow")
+        .materialize()  # lazy schema() would re-run the groupby
+    )
+    out = asof_join_shuffle(ev, marks, on="ts", by="user_id")
+    return out.select_columns(["event_id", "mark_id"])
+
+
 def q_join_bigbig(sf_dir: str):
     """Fact ⋈ fact shuffle join (neither side broadcastable at scale):
     lineitem ⋈ orders on the order key, then a grouped revenue rollup —
@@ -1331,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_approx": q_ann_ivf_approx,
         "join_enrich": q_join_enrich,
         "asof_join": q_asof_join,
+        "asof_join_big": q_asof_join_big,
         "join_bigbig": q_join_bigbig,
         "interval_join": q_interval_join,
         "sample_weighted": q_sample_weighted,
@@ -1655,6 +1694,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(doc_id) AS BIGINT) AS total
             FROM documents GROUP BY lang
+        """,
+        "asof_join_big": """
+            WITH marks AS (
+                SELECT user_id, ts, max(event_id) AS mark_id
+                FROM events WHERE event_id % 10 = 0
+                GROUP BY user_id, ts
+            )
+            SELECT e.event_id, m.mark_id
+            FROM events e ASOF LEFT JOIN marks m
+              ON e.user_id = m.user_id AND e.ts >= m.ts
         """,
         "join_bigbig": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,

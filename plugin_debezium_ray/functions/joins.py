@@ -412,3 +412,118 @@ def shuffle_join(
         on=lkey,
         right_on=rkey,
     )
+
+
+# ---------------------------------------------------- asof shuffle join
+
+
+def asof_join_shuffle(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str,
+    by: str,
+    allow_exact_matches: bool = True,
+) -> "ray.data.Dataset":
+    """Big-big as-of LEFT join — the co-partitioned complement of
+    ``asof_join_broadcast`` for when the reference series is itself
+    corpus-scale (per-user activity vs per-user checkpoint streams):
+    both sides are tagged and hash-co-partitioned by ``by`` in ONE
+    groupby shuffle; inside each key group the match is a single
+    vectorized binary search of the left timestamps against the sorted
+    right timestamps (backward semantics: greatest right ``on`` ≤ left
+    ``on``; ties among equal right timestamps pick the last in input
+    order, as the broadcast variant does).
+
+    Left rows with a null ``on``/``by`` key surface unmatched through a
+    shuffle-free side branch (SQL left-join semantics); null-keyed
+    right rows never match.  Right payload columns keep their Arrow
+    types (null-masked take — unmatched int64 stays int64).
+    Partitioning assumption: one ``by`` group must fit a task (the
+    standard ``map_groups`` contract — salt upstream if a single key
+    dominates).  Schemas are resolved eagerly to build the tagged union
+    — ``materialize()`` a lazy input first if its upstream is expensive
+    (a lazy ``schema()`` runs a limit-1 plan of the whole upstream)."""
+
+    def _names_types(ds):
+        sch = ds.schema()  # static for file reads / in-memory tables
+        return list(sch.names), dict(zip(sch.names, sch.types))
+
+    lnames, ltypes = _names_types(left)
+    rnames, rtypes = _names_types(right)
+    rpayload = [c for c in rnames if c not in (on, by)]
+    overlap = [c for c in rpayload if c in lnames]
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {overlap}")
+    out_cols = lnames + rpayload
+    canon = [by, on] + [c for c in lnames if c not in (by, on)] \
+        + rpayload + ["_side"]
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[on]), pc.is_valid(t[by]))
+        tv = t.filter(keep)
+        for c in rpayload:
+            tv = tv.append_column(c, pa.nulls(tv.num_rows, rtypes[c]))
+        tv = tv.append_column(
+            "_side", pa.array(np.zeros(tv.num_rows, dtype=np.int8))
+        )
+        return tv.select(canon)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[on]), pc.is_valid(t[by]))
+        tv = t.filter(keep)
+        for c in lnames:
+            if c not in (by, on):
+                tv = tv.append_column(c, pa.nulls(tv.num_rows, ltypes[c]))
+        tv = tv.append_column(
+            "_side", pa.array(np.ones(tv.num_rows, dtype=np.int8))
+        )
+        return tv.select(canon)
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t  # Ray sort can emit schema-less empty blocks
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        lpos = np.flatnonzero(side == 0)
+        rpos = np.flatnonzero(side == 1)
+        out_left = t.take(pa.array(lpos))
+        if len(lpos) == 0:
+            return out_left.select(out_cols)
+        onv = t[on].to_numpy(zero_copy_only=False)
+        lon = onv[lpos]
+        ron = onv[rpos]
+        order = np.argsort(ron, kind="stable")
+        pos = np.searchsorted(
+            ron[order], lon,
+            side="right" if allow_exact_matches else "left",
+        ) - 1
+        matched = pos >= 0
+        ridx = rpos[order[np.maximum(pos, 0)]]
+        idx = pa.array(
+            np.where(matched, ridx, 0).astype(np.int64), type=pa.int64(),
+            mask=~matched,
+        )
+        cols = {c: out_left[c] for c in out_cols if c not in rpayload}
+        for c in rpayload:
+            cols[c] = pc.take(t[c].combine_chunks(), idx)
+        return pa.table({c: cols[c] for c in out_cols})
+
+    grouped = (
+        left.map_batches(prep_left, batch_format="pyarrow")
+        .union(right.map_batches(prep_right, batch_format="pyarrow"))
+        .groupby(by)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+    def null_key_rows(t: pa.Table) -> pa.Table:
+        # SQL LEFT semantics: a null-keyed left row still appears, with
+        # null right payload — shuffle-free side branch
+        keep = pc.invert(pc.and_(pc.is_valid(t[on]), pc.is_valid(t[by])))
+        tv = t.filter(keep)
+        for c in rpayload:
+            tv = tv.append_column(c, pa.nulls(tv.num_rows, rtypes[c]))
+        return tv.select(out_cols)
+
+    return grouped.union(
+        left.map_batches(null_key_rows, batch_format="pyarrow")
+    )

@@ -1586,6 +1586,43 @@ class TestAsofJoin:
                .to_pandas().set_index("id")["mark"])
         assert out[1] == 100 and pd.isna(out[2]) and pd.isna(out[3])
 
+    def test_shuffle_variant_equals_broadcast(self):
+        from plugin_debezium_ray.functions.joins import (
+            asof_join_broadcast,
+            asof_join_shuffle,
+        )
+
+        rng = np.random.default_rng(29)
+        n = 1500
+        left = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 15, n),
+            "t": rng.integers(0, 500, n),
+        })
+        # inject null keys on the left: they must surface unmatched
+        left.loc[[3, 7], "k"] = pd.NA
+        left = left.astype({"k": "Int64"})
+        right = (pd.DataFrame({
+            "k": rng.integers(0, 18, 200).astype("int64"),
+            "t": rng.integers(0, 500, 200),
+            "mark": np.arange(200, dtype=np.int64),
+        }).drop_duplicates(["k", "t"]))
+        for exact in (True, False):
+            a = (asof_join_broadcast(
+                     ray.data.from_pandas(left).repartition(5),
+                     ray.data.from_pandas(right), on="t", by="k",
+                     allow_exact_matches=exact)
+                 .to_pandas().sort_values("id").reset_index(drop=True))
+            b = (asof_join_shuffle(
+                     ray.data.from_pandas(left).repartition(5),
+                     ray.data.from_pandas(right).repartition(3),
+                     on="t", by="k", allow_exact_matches=exact)
+                 .to_pandas().sort_values("id").reset_index(drop=True))
+            assert len(b) == n
+            assert a["mark"].fillna(-1).tolist() == \
+                b["mark"].fillna(-1).tolist()
+        assert b.set_index("id").loc[[3, 7], "mark"].isna().all()
+
     def test_validation(self):
         import pytest
 
