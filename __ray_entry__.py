@@ -968,6 +968,9 @@ def q_asof_join_big(sf_dir: str):
 
     marks = (
         ev.map_batches(is_mark, batch_format="pyarrow")
+        # coalesce the tiny filtered blocks: groupby reduce parallelism
+        # follows block count, and 1-row reduce tasks are pure overhead
+        .repartition(4)
         .groupby(["user_id", "ts"])
         .max("event_id")
         .map_batches(rename, batch_format="pyarrow")

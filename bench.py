@@ -280,6 +280,7 @@ def _suite(sf_dir: str) -> dict[str, float]:
         "agg_event_stats",
         # round-4 additions
         "asof_join",
+        "asof_join_big",
         "interval_join",
         "quantiles",
         "text_tfidf",

@@ -1586,6 +1586,21 @@ class TestAsofJoin:
                .to_pandas().set_index("id")["mark"])
         assert out[1] == 100 and pd.isna(out[2]) and pd.isna(out[3])
 
+    def test_shuffle_variant_key_with_no_right_rows(self):
+        # a left key absent from the right side entirely: the group has
+        # zero right rows — every left row surfaces unmatched (this
+        # indexed an empty array before the sf0.1 fix)
+        from plugin_debezium_ray.functions.joins import asof_join_shuffle
+
+        left = pd.DataFrame({
+            "id": [1, 2, 3], "k": [1, 2, 2], "t": [5, 5, 9]})
+        right = pd.DataFrame({"k": [2], "t": [4], "mark": [77]})
+        out = (asof_join_shuffle(
+                   ray.data.from_pandas(left), ray.data.from_pandas(right),
+                   on="t", by="k")
+               .to_pandas().set_index("id")["mark"])
+        assert pd.isna(out[1]) and out[2] == 77 and out[3] == 77
+
     def test_shuffle_variant_equals_broadcast(self):
         from plugin_debezium_ray.functions.joins import (
             asof_join_broadcast,
