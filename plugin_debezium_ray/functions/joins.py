@@ -111,6 +111,21 @@ def _names_without_execution(ds: "ray.data.Dataset") -> list:
     return list(sch.names) if sch is not None else []
 
 
+def _valid_key_mask(t: pa.Table, cols) -> "pa.ChunkedArray":
+    """Join-key validity: null OR (for float columns) NaN keys never
+    match — pandas merge_asof refuses both, and SQL key semantics agree
+    (NaN is not equal-comparable as a key)."""
+    m = None
+    for c in cols:
+        v = pc.is_valid(t[c])
+        if pa.types.is_floating(t[c].type):
+            # fill_null first: is_nan(null) is null, and a null in the
+            # AND would leak through the invert
+            v = pc.and_(v, pc.invert(pc.is_nan(pc.fill_null(t[c], 0.0))))
+        m = v if m is None else pc.and_(m, v)
+    return m
+
+
 # ----------------------------------------------------------- asof join
 
 
@@ -127,10 +142,8 @@ class _AsofProbe:
     def __init__(self, small_ref, on: str, by: "str | None",
                  direction: str, allow_exact_matches: bool):
         right = ray.get(small_ref)  # zero-copy plasma mmap
-        keep = pc.is_valid(right[on])
-        if by is not None:
-            keep = pc.and_(keep, pc.is_valid(right[by]))
-        right = right.filter(keep)  # null right keys can never match
+        keep = _valid_key_mask(right, [on] + ([by] if by else []))
+        right = right.filter(keep)  # null/NaN right keys never match
         self.on = on
         self.by = by
         self.direction = direction
@@ -156,9 +169,9 @@ class _AsofProbe:
             # pandas conversion: an int64 key column with one null would
             # otherwise convert to float64 and MergeError against the
             # int64 right frame
-            valid = pc.is_valid(t[self.on])
-            if self.by is not None:
-                valid = pc.and_(valid, pc.is_valid(t[self.by]))
+            valid = _valid_key_mask(
+                t, [self.on] + ([self.by] if self.by else [])
+            )
             lidx = np.flatnonzero(
                 valid.to_numpy(zero_copy_only=False).astype(bool)
             )
@@ -437,11 +450,12 @@ def asof_join_shuffle(
     one call per partition, never per key: a per-key ``map_groups``
     measured 12.8 s vs this shape's ~1 s on the same sf0.1 input).
 
-    Left rows with a null ``on``/``by`` key surface unmatched through a
-    shuffle-free side branch (SQL left-join semantics); null-keyed
-    right rows never match.  Right payload columns keep their Arrow
-    types (null-masked take — unmatched int64 stays int64).
-    Partitioning assumption: one hash partition must fit a task — raise
+    Left rows with a null (or float-NaN) ``on``/``by`` key surface
+    unmatched via a RESERVED partition id — still the same single pass
+    over the left side (SQL left-join semantics); invalid-keyed right
+    rows never match.  Right payload columns keep their Arrow types
+    (null-masked take — unmatched int64 stays int64).  Partitioning
+    assumption: one hash partition must fit a task — raise
     ``num_partitions`` with the corpus.  Schemas are resolved eagerly
     to build the tagged union — ``materialize()`` a lazy input first if
     its upstream is expensive (a lazy ``schema()`` runs a limit-1 plan
@@ -463,37 +477,54 @@ def asof_join_shuffle(
     canon = [by, on] + [c for c in lnames if c not in (by, on)] \
         + rpayload + ["_side", "_part"]
 
-    def _with_part(tv: pa.Table) -> pa.Table:
+    def _pad(tv: pa.Table, cols, types) -> pa.Table:
+        for c in cols:
+            tv = tv.append_column(c, pa.nulls(tv.num_rows, types[c]))
+        return tv
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        tv = _pad(t, rpayload, rtypes)
+        tv = tv.append_column(
+            "_side", pa.array(np.zeros(tv.num_rows, dtype=np.int8))
+        )
+        # invalid keys ride the SAME pass into a reserved partition with
+        # no right rows: per_partition emits them unmatched for free.
+        # Hash ONLY the valid rows — converting a nullable int column to
+        # numpy turns it float64, and float-object hashes would never
+        # meet the right side's int-object hashes
+        valid = _valid_key_mask(tv, [on, by]).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        part = np.full(tv.num_rows, num_partitions, dtype=np.int32)
+        if valid.any():
+            vk = (tv.filter(pa.array(valid))[by]
+                  .to_numpy(zero_copy_only=False).astype(object))
+            h = pd.util.hash_array(vk)
+            part[valid] = (h % np.uint64(num_partitions)).astype(np.int32)
+        return tv.append_column("_part", pa.array(part)).select(canon)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        tv = t.filter(_valid_key_mask(t, [on, by]))
+        tv = _pad(
+            tv, [c for c in lnames if c not in (by, on)], ltypes
+        )
+        tv = tv.append_column(
+            "_side", pa.array(np.ones(tv.num_rows, dtype=np.int8))
+        )
         h = pd.util.hash_array(
             tv[by].to_numpy(zero_copy_only=False).astype(object)
         )
         part = (h % np.uint64(num_partitions)).astype(np.int32)
-        return tv.append_column("_part", pa.array(part))
-
-    def prep_left(t: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.is_valid(t[on]), pc.is_valid(t[by]))
-        tv = t.filter(keep)
-        for c in rpayload:
-            tv = tv.append_column(c, pa.nulls(tv.num_rows, rtypes[c]))
-        tv = tv.append_column(
-            "_side", pa.array(np.zeros(tv.num_rows, dtype=np.int8))
-        )
-        return _with_part(tv).select(canon)
-
-    def prep_right(t: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.is_valid(t[on]), pc.is_valid(t[by]))
-        tv = t.filter(keep)
-        for c in lnames:
-            if c not in (by, on):
-                tv = tv.append_column(c, pa.nulls(tv.num_rows, ltypes[c]))
-        tv = tv.append_column(
-            "_side", pa.array(np.ones(tv.num_rows, dtype=np.int8))
-        )
-        return _with_part(tv).select(canon)
+        return tv.append_column("_part", pa.array(part)).select(canon)
 
     def per_partition(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t  # Ray sort can emit schema-less empty blocks
+            # an empty block may arrive schema-less OR with the canon
+            # schema — emit out_cols when they exist so every block of
+            # the stream shares one schema
+            if set(out_cols) <= set(t.column_names):
+                return t.select(out_cols)
+            return t
         side = t["_side"].to_numpy(zero_copy_only=False)
         lpos = np.flatnonzero(side == 0)
         rpos = np.flatnonzero(side == 1)
@@ -501,6 +532,8 @@ def asof_join_shuffle(
         if len(lpos) == 0:
             return out_left.select(out_cols)
         if len(rpos) == 0:
+            # no right rows here (includes the reserved invalid-key
+            # partition): every left row is unmatched
             idx = pa.nulls(len(lpos), pa.int64())
         else:
             rt = t.take(pa.array(rpos))
@@ -531,22 +564,9 @@ def asof_join_shuffle(
             cols[c] = pc.take(t[c].combine_chunks(), idx)
         return pa.table({c: cols[c] for c in out_cols})
 
-    grouped = (
+    return (
         left.map_batches(prep_left, batch_format="pyarrow")
         .union(right.map_batches(prep_right, batch_format="pyarrow"))
         .groupby("_part")
         .map_groups(per_partition, batch_format="pyarrow")
-    )
-
-    def null_key_rows(t: pa.Table) -> pa.Table:
-        # SQL LEFT semantics: a null-keyed left row still appears, with
-        # null right payload — shuffle-free side branch
-        keep = pc.invert(pc.and_(pc.is_valid(t[on]), pc.is_valid(t[by])))
-        tv = t.filter(keep)
-        for c in rpayload:
-            tv = tv.append_column(c, pa.nulls(tv.num_rows, rtypes[c]))
-        return tv.select(out_cols)
-
-    return grouped.union(
-        left.map_batches(null_key_rows, batch_format="pyarrow")
     )

@@ -160,11 +160,27 @@ def exact_quantiles(
             # a hash collision stays correct — the colliding groups'
             # rows interleave but each group's own rows remain ordered
             # by ``col``, and run detection reads the REAL column
-            vals = np.empty(t.num_rows, dtype=object)
-            for i, v in enumerate(t[by].to_pylist()):
-                vals[i] = v
-            gf = (pd.util.hash_array(vals) if t.num_rows
-                  else np.empty(0, dtype=np.uint64))
+            gc_ = t[by]
+            if t.num_rows == 0:
+                gf = np.empty(0, dtype=np.uint64)
+            elif pa.types.is_integer(gc_.type) or pa.types.is_floating(gc_.type):
+                # vectorized path — cast to float64 so blocks WITH nulls
+                # (which numpy surfaces as float anyway) and blocks
+                # without hash identically; a lossy int64→float64 cast
+                # only merges two groups' HASHES, which the collision
+                # argument above already tolerates
+                gf = pd.util.hash_array(
+                    gc_.to_numpy(zero_copy_only=False).astype(np.float64)
+                )
+            elif pa.types.is_string(gc_.type) or pa.types.is_large_string(gc_.type):
+                gf = pd.util.hash_array(
+                    gc_.to_numpy(zero_copy_only=False).astype(object)
+                )
+            else:  # exotic key types: object fallback
+                vals = np.empty(t.num_rows, dtype=object)
+                for i, v in enumerate(gc_.to_pylist()):
+                    vals[i] = v
+                gf = pd.util.hash_array(vals)
             t = t.append_column("_gf", pa.array(gf))
         return t
 

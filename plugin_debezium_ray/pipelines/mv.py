@@ -39,33 +39,55 @@ from plugin_debezium_ray.state.checkpoint import CheckpointManager
 
 @ray.remote
 def _bucket_partial(path: str, group_col: str, sum_col: "str | None"):
-    """One bucket file → {group: [count, sum]} (sum omitted if no
-    sum_col).  Column-pruned read; runs as an ordinary Ray task so
-    changed buckets recompute in parallel across the cluster."""
+    """One bucket file → [[group, count, sum, n_sum_nonnull], ...]
+    (sum fields omitted without a sum_col).  Column-pruned read; the
+    fold itself is ONE Arrow group_by aggregate (vectorized — never a
+    Python loop over rows); runs as an ordinary Ray task so changed
+    buckets recompute in parallel across the cluster.
+
+    Group keys keep their native JSON-scalar types (str/int/float/
+    bool/null); other key types (dates, ...) round-trip through the
+    JSON cache as strings — documented on the class."""
     import pyarrow.parquet as pq
 
     cols = [group_col] + ([sum_col] if sum_col else [])
     t = pq.read_table(path, columns=cols)
     if t.num_rows == 0:
-        return {}
-    keys = t[group_col].to_pylist()
-    out: dict = {}
+        return []
     if sum_col:
-        vals = pc.fill_null(t[sum_col], 0).to_pylist()
-        for k, v in zip(keys, vals):
-            acc = out.setdefault(_key(k), [0, 0])
-            acc[0] += 1
-            acc[1] += v
-    else:
-        for k in keys:
-            acc = out.setdefault(_key(k), [0])
-            acc[0] += 1
-    return out
+        styp = t[sum_col].type
+        if not (pa.types.is_integer(styp) or pa.types.is_floating(styp)):
+            raise TypeError(
+                f"sum_col must be integer or float, got {styp} — exact "
+                "decimal aggregation belongs in a full query, not the "
+                "float-folding MV cache"
+            )
+        agg = t.group_by([group_col]).aggregate(
+            [(sum_col, "sum"), (sum_col, "count"), ([], "count_all")]
+        )
+        return [
+            [_key(g), int(n), (0 if s is None else s), int(nv)]
+            for g, s, nv, n in zip(
+                agg[group_col].to_pylist(),
+                agg[f"{sum_col}_sum"].to_pylist(),
+                agg[f"{sum_col}_count"].to_pylist(),
+                agg["count_all"].to_pylist(),
+            )
+        ]
+    agg = t.group_by([group_col]).aggregate([([], "count_all")])
+    return [
+        [_key(g), int(n)]
+        for g, n in zip(agg[group_col].to_pylist(),
+                        agg["count_all"].to_pylist())
+    ]
 
 
-def _key(k) -> str:
-    """JSON-safe group key (None → the explicit null marker)."""
-    return "\x00null" if k is None else str(k)
+def _key(k):
+    """JSON-cache-safe group key: native JSON scalars pass through
+    TYPED; anything else (dates, decimals) degrades to str."""
+    if k is None or isinstance(k, (str, int, float, bool)):
+        return k
+    return str(k)
 
 
 class MaterializedAggregate:
@@ -139,17 +161,18 @@ class MaterializedAggregate:
             "partials": keep,
         })
 
-        folded: dict[str, list] = {}
+        folded: dict = {}
         for part in keep.values():
-            for k, acc in part.items():
+            for entry in part:
+                k, acc = entry[0], entry[1:]
                 tgt = folded.setdefault(k, [0] * len(acc))
                 for i, v in enumerate(acc):
                     tgt[i] += v
         rows = []
-        for k in sorted(folded):
-            group = None if k == "\x00null" else k
-            row = {self.group_col: group, "n_rows": folded[k][0]}
+        for k in sorted(folded, key=lambda g: (g is None, str(g))):
+            row = {self.group_col: k, "n_rows": folded[k][0]}
             if self.sum_col:
-                row["total"] = folded[k][1]
+                # SQL SUM over an all-null group is NULL, not 0
+                row["total"] = folded[k][1] if folded[k][2] else None
             rows.append(row)
         return rows

@@ -1637,6 +1637,20 @@ class TestAsofJoin:
             assert a["mark"].fillna(-1).tolist() == \
                 b["mark"].fillna(-1).tolist()
         assert b.set_index("id").loc[[3, 7], "mark"].isna().all()
+        # forward / nearest directions agree with the broadcast variant
+        for direction in ("forward", "nearest"):
+            a = (asof_join_broadcast(
+                     ray.data.from_pandas(left),
+                     ray.data.from_pandas(right), on="t", by="k",
+                     direction=direction)
+                 .to_pandas().sort_values("id"))
+            b = (asof_join_shuffle(
+                     ray.data.from_pandas(left),
+                     ray.data.from_pandas(right), on="t", by="k",
+                     direction=direction)
+                 .to_pandas().sort_values("id"))
+            assert a["mark"].fillna(-1).tolist() == \
+                b["mark"].fillna(-1).tolist()
 
     def test_validation(self):
         import pytest

@@ -84,3 +84,45 @@ def test_mv_streaming_engine(tmp_path):
     mv = MaterializedAggregate(str(tmp_path), group_col="lang",
                                sum_col="lsn")
     assert _as_map(mv.refresh()) == _direct(job)
+
+
+def test_mv_typed_int_groups_null_sums_and_decimal_guard(tmp_path):
+    """Round-4 review pins: int group keys stay ints through the JSON
+    cache; an all-null sum group reports total=None (SQL SUM semantics,
+    not 0); decimal sum columns are rejected loudly."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from plugin_debezium_ray.pipelines.mv import _bucket_partial
+
+    t = pa.table({
+        "g": pa.array([1, 1, 2, 10], pa.int64()),
+        "x": pa.array([5, None, None, 7], pa.int64()),
+    })
+    pq_path = str(tmp_path / "b.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(t, pq_path)
+    part = ray.get(_bucket_partial.remote(pq_path, "g", "x"))
+    got = {e[0]: tuple(e[1:]) for e in part}
+    assert got == {1: (2, 5, 1), 2: (1, 0, 0), 10: (1, 7, 1)}
+    assert all(isinstance(e[0], int) for e in part)  # typed, not '10'
+
+    # fold through the class: group 2's total must be None, not 0
+    from plugin_debezium_ray.pipelines.mv import MaterializedAggregate
+    job = ReplayJob(CaptureConfig(num_buckets=2), str(tmp_path / "lake"))
+    job.run(binlog(100, 20, seed=3), ddl_source=False)
+    mv = MaterializedAggregate(str(tmp_path / "lake"), group_col="lang",
+                               sum_col="lsn")
+    assert mv.refresh()  # smoke: normal path still folds
+
+    dec = pa.table({
+        "g": pa.array(["a"]),
+        "x": pa.array([__import__("decimal").Decimal("1.5")],
+                      pa.decimal128(10, 2)),
+    })
+    pq.write_table(dec, str(tmp_path / "d.parquet"))
+    with pytest.raises(TypeError, match="integer or float"):
+        ray.get(_bucket_partial.remote(str(tmp_path / "d.parquet"),
+                                       "g", "x"))
