@@ -593,6 +593,33 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, seq_len=256)
 
 
+def q_corpus_shuffle(sf_dir: str):
+    """Deterministic corpus shuffle for training order: every doc's
+    0-based rank in (hash(doc_id), doc_id) order — one range sort +
+    O(blocks) driver integers, reproducible at any parallelism."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plugin_debezium_ray.functions.packing import global_order_rank
+    from plugin_debezium_ray.functions.selection import duckdb_hash64
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = (duckdb_hash64(ids) >> np.uint64(1)).astype(np.int64)
+        return t.append_column("_h", pa.array(h))
+
+    out = global_order_rank(
+        docs.map_batches(add_h, batch_format="pyarrow"),
+        order_cols=["_h", "doc_id"],
+        drop_order_cols=["_h"],
+    )
+    return out.select_columns(["doc_id", "rank"])
+
+
 def q_chunk_documents(sf_dir: str):
     """Overlapping token-window chunking (RAG preprocessing): 32-token
     chunks, 8-token overlap."""
@@ -1358,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_by_group": q_top_k_by_group,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
+        "corpus_shuffle": q_corpus_shuffle,
         "decontaminate": q_decontaminate,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -1772,6 +1800,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem
             UNION ALL
             SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+        """,
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY CAST(hash(doc_id) >> 1 AS BIGINT), doc_id
+                   ) - 1 AS BIGINT) AS rank
+            FROM documents
         """,
         "sample_fixed_per_group": """
             SELECT doc_id, lang FROM (

@@ -253,3 +253,74 @@ def pack_sequences(
         batch_size=1,
         concurrency=concurrency or max(1, min(len(refs), 16)),
     )
+
+
+@ray.remote
+def _block_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+class _AssignRanks:
+    """Second scan pass of ``global_order_rank``: fetch block i, emit
+    its rows with ``base + arange`` ranks appended."""
+
+    def __init__(self, refs, rank_col: str, drop_cols):
+        self.refs = refs
+        self.rank_col = rank_col
+        self.drop = list(drop_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, base in zip(batch["i"].to_pylist(), batch["base"].to_pylist()):
+            t = ray.get(self.refs[i])
+            if t.num_rows == 0:
+                continue
+            ranks = np.arange(t.num_rows, dtype=np.int64) + np.int64(base)
+            t = t.append_column(self.rank_col, pa.array(ranks))
+            if self.drop:
+                t = t.drop_columns(self.drop)
+            outs.append(t)
+        if not outs:
+            return pa.table({})  # empty marker; upstream sort was empty
+        return pa.concat_tables(outs)
+
+
+def global_order_rank(
+    ds: "ray.data.Dataset",
+    *,
+    order_cols: "list[str]",
+    rank_col: str = "rank",
+    drop_order_cols: "list[str] | None" = None,
+    concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """Assign every row its 0-based rank in the global ``order_cols``
+    ordering — the deterministic-corpus-shuffle primitive: order by a
+    hash of the id (computed upstream) and the rank IS the training
+    position, reproducible across reruns, repartitions and cluster
+    sizes.
+
+    Same scale shape as ``pack_sequences``: ONE range sort (the only
+    shuffle), a parallel per-block row-count pass, an O(blocks) driver
+    fold into exclusive base offsets, and a parallel assignment pass —
+    the driver never sees rows.  ``drop_order_cols`` removes helper
+    sort columns from the output."""
+    refs = ds.sort(order_cols).materialize().to_arrow_refs()
+    counts = ray.get([_block_rows.remote(r) for r in refs])
+    bases = np.concatenate([[0], np.cumsum(counts[:-1], dtype=np.int64)]) \
+        if counts else np.zeros(0, dtype=np.int64)
+    items = [{"i": i, "base": int(b)} for i, b in enumerate(bases)]
+    if not items:
+        return ds  # empty input: nothing to rank
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)
+    ).map_batches(
+        _AssignRanks,
+        fn_constructor_kwargs={
+            "refs": refs,
+            "rank_col": rank_col,
+            "drop_cols": drop_order_cols or [],
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency or max(1, min(len(refs), 16)),
+    )

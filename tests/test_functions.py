@@ -1671,6 +1671,41 @@ class TestAsofJoin:
                                 on="t", by="k", small_max_rows=2)
 
 
+class TestGlobalOrderRank:
+    def test_rank_matches_argsort_and_is_partition_proof(self):
+        from plugin_debezium_ray.functions.packing import global_order_rank
+
+        rng = np.random.default_rng(41)
+        df = pd.DataFrame({
+            "doc_id": np.arange(2000, dtype=np.int64),
+            "key": rng.permutation(2000).astype(np.int64),
+        })
+        want = {int(d): int(r) for r, d in
+                enumerate(df.sort_values(["key", "doc_id"])["doc_id"])}
+        for parts in (3, 11):
+            out = global_order_rank(
+                ray.data.from_pandas(df).repartition(parts),
+                order_cols=["key", "doc_id"],
+            ).to_pandas()
+            got = dict(zip(out["doc_id"].astype(int),
+                           out["rank"].astype(int)))
+            assert got == want
+        # drop_order_cols removes the helper column
+        out = global_order_rank(
+            ray.data.from_pandas(df), order_cols=["key", "doc_id"],
+            drop_order_cols=["key"],
+        ).to_pandas()
+        assert list(out.columns) == ["doc_id", "rank"]
+
+    def test_empty_input(self):
+        from plugin_debezium_ray.functions.packing import global_order_rank
+
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64")}))
+        assert global_order_rank(
+            empty, order_cols=["doc_id"]).count() == 0
+
+
 class TestReviewRegressionsR4:
     """Pins for the round-4 self-review findings."""
 
