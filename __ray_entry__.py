@@ -1100,6 +1100,37 @@ def q_interval_join(sf_dir: str):
     return out.select_columns(["event_id", "iv_id"])
 
 
+def q_interval_join_by(sf_dir: str):
+    """Keyed range join: events contained in the 30-minute windows of
+    the SAME user (every 500th event opens a window) — containment plus
+    key equality, still one broadcast and a shuffle-free big side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.functions.joins import interval_join_broadcast
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        rem = pc.subtract(
+            t["event_id"],
+            pc.multiply(pc.divide(t["event_id"], 500), 500),
+        )
+        t = t.filter(pc.equal(rem, pa.scalar(0, pa.int64())))
+        end = pc.add(t["ts"], pa.scalar(1_800_000_000, pa.duration("us")))
+        return pa.table({
+            "user_id": t["user_id"], "iv_id": t["event_id"],
+            "start_ts": t["ts"], "end_ts": end,
+        })
+
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow")
+    out = interval_join_broadcast(ev, iv, on="ts", by="user_id")
+    return out.select_columns(["event_id", "iv_id"])
+
+
 def q_sample_weighted(sf_dir: str):
     """Weight-proportional deterministic sampling (importance
     resampling): keep each doc with probability min(n_tokens/100, 1),
@@ -1403,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_big": q_asof_join_big,
         "join_bigbig": q_join_bigbig,
         "interval_join": q_interval_join,
+        "interval_join_by": q_interval_join_by,
         "sample_weighted": q_sample_weighted,
         "text_tfidf": q_text_tfidf,
         "dedup_semantic": q_dedup_semantic,
@@ -1778,6 +1810,17 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id ORDER BY score DESC, term) AS rn
                   FROM scored)
             WHERE rn <= 5
+        """,
+        "interval_join_by": """
+            WITH iv AS (
+                SELECT user_id, event_id AS iv_id, ts AS start_ts,
+                       ts + INTERVAL 30 MINUTE AS end_ts
+                FROM events WHERE event_id % 500 = 0
+            )
+            SELECT e.event_id, iv.iv_id
+            FROM events e JOIN iv
+              ON e.user_id = iv.user_id
+             AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
         """,
         "sample_weighted": """
             WITH c AS (

@@ -268,23 +268,37 @@ class _IntervalProbe:
     then every interval becomes TWO binary searches (start, end) whose
     slice of the sorted order is the match set — O(|intervals|·log
     batch + |output|) per batch, never the |batch|×|intervals| cross
-    product."""
+    product.  With a ``by`` key, rows are factorized and the same two
+    searches run inside each key's run of the (key, time)-sorted
+    order against that key's own intervals."""
 
-    def __init__(self, small_ref, on: str, start_col: str, end_col: str):
+    def __init__(self, small_ref, on: str, start_col: str, end_col: str,
+                 by: "str | None" = None):
         right = ray.get(small_ref)
         keep = pc.and_(pc.is_valid(right[start_col]),
                        pc.is_valid(right[end_col]))
         # inverted intervals (end <= start) can never contain a point —
         # dropping them here also keeps hi - lo non-negative below
         keep = pc.and_(keep, pc.greater(right[end_col], right[start_col]))
+        if by is not None:
+            keep = pc.and_(keep, pc.is_valid(right[by]))
         right = right.filter(keep)
         self.on = on
+        self.by = by
         self.start = right[start_col].to_numpy(zero_copy_only=False)
         self.end = right[end_col].to_numpy(zero_copy_only=False)
+        drop = {start_col, end_col} | ({by} if by else set())
         self.payload = {
             c: right[c].combine_chunks()
-            for c in right.column_names if c not in (start_col, end_col)
+            for c in right.column_names if c not in drop
         }
+        if by is not None:
+            idx: dict = {}
+            for i, k in enumerate(right[by].to_pylist()):
+                idx.setdefault(k, []).append(i)  # bounded interval set
+            self.by_index = {
+                k: np.asarray(v, dtype=np.int64) for k, v in idx.items()
+            }
 
     def __call__(self, t: pa.Table) -> pa.Table:
         def empty() -> pa.Table:
@@ -298,24 +312,66 @@ class _IntervalProbe:
             return empty()
         ts = t[self.on].to_numpy(zero_copy_only=False)
         valid = ~pd.isna(ts)
-        order = np.argsort(ts, kind="stable")
-        order = order[valid[order]]
-        sorted_ts = ts[order]
-        lo = np.searchsorted(sorted_ts, self.start, side="left")
-        hi = np.searchsorted(sorted_ts, self.end, side="left")  # end excl.
-        counts = np.maximum(hi - lo, 0)  # belt: never negative
-        total = int(counts.sum())
-        if total == 0:
-            return empty()
-        # segmented arange over the matched slices of the sorted order
-        goff = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos = np.repeat(lo, counts) + (
-            np.arange(total, dtype=np.int64) - np.repeat(goff, counts)
-        )
-        left_idx = order[pos]
-        right_idx = np.repeat(
-            np.arange(len(self.start), dtype=np.int64), counts
-        )
+        if self.by is None:
+            order = np.argsort(ts, kind="stable")
+            order = order[valid[order]]
+            sorted_ts = ts[order]
+            lo = np.searchsorted(sorted_ts, self.start, side="left")
+            hi = np.searchsorted(sorted_ts, self.end, side="left")
+            counts = np.maximum(hi - lo, 0)
+            total = int(counts.sum())
+            if total == 0:
+                return empty()
+            # segmented arange over the matched slices of the sorted order
+            goff = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.repeat(lo, counts) + (
+                np.arange(total, dtype=np.int64) - np.repeat(goff, counts)
+            )
+            left_idx = order[pos]
+            right_idx = np.repeat(
+                np.arange(len(self.start), dtype=np.int64), counts
+            )
+        else:
+            kv = np.empty(n, dtype=object)
+            for i, k in enumerate(t[self.by].to_pylist()):
+                kv[i] = k
+            valid &= np.array([k is not None for k in kv], dtype=bool)
+            vidx = np.flatnonzero(valid)
+            if len(vidx) == 0:
+                return empty()
+            codes, uniques = pd.factorize(kv[vidx])
+            order_v = np.lexsort((ts[vidx], codes))
+            order = vidx[order_v]  # (key, time)-sorted valid positions
+            sc = codes[order_v]
+            sorted_ts = ts[order]
+            run_new = np.empty(len(sc), dtype=bool)
+            run_new[0] = True
+            np.not_equal(sc[1:], sc[:-1], out=run_new[1:])
+            run_starts = np.flatnonzero(run_new)
+            run_ends = np.concatenate([run_starts[1:], [len(sc)]])
+            l_parts, r_parts = [], []
+            for rs, re_ in zip(run_starts, run_ends):
+                ivs = self.by_index.get(uniques[sc[rs]])
+                if ivs is None:
+                    continue
+                seg = sorted_ts[rs:re_]
+                lo = rs + np.searchsorted(seg, self.start[ivs], side="left")
+                hi = rs + np.searchsorted(seg, self.end[ivs], side="left")
+                counts = np.maximum(hi - lo, 0)
+                total = int(counts.sum())
+                if total == 0:
+                    continue
+                goff = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                pos = np.repeat(lo, counts) + (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(goff, counts)
+                )
+                l_parts.append(order[pos])
+                r_parts.append(np.repeat(ivs, counts))
+            if not l_parts:
+                return empty()
+            left_idx = np.concatenate(l_parts)
+            right_idx = np.concatenate(r_parts)
         out = t.take(pa.array(left_idx))
         cols = {c: out[c] for c in out.column_names}
         ridx = pa.array(right_idx)
@@ -331,6 +387,7 @@ def interval_join_broadcast(
     on: str,
     start_col: str = "start_ts",
     end_col: str = "end_ts",
+    by: "str | None" = None,
     small_max_rows: int = 1_000_000,
     concurrency=(1, 8),
 ) -> "ray.data.Dataset":
@@ -339,7 +396,9 @@ def interval_join_broadcast(
     SQL ``JOIN iv ON e.on >= iv.start AND e.on < iv.end``.  Overlapping
     intervals multiply-match by definition; rows in no interval (or
     with null ``on``) are dropped; intervals with null bounds never
-    match.
+    match.  With ``by``, containment additionally requires key equality
+    (per-user maintenance windows) — SQL adds ``AND e.by = iv.by``; the
+    key column is consumed from the interval side, not re-emitted.
 
     Scale shape: the interval table is a bounded reference set
     (maintenance windows, sessions, experiment epochs) — collected and
@@ -357,7 +416,7 @@ def interval_join_broadcast(
     big_names = _names_without_execution(big)
     overlap = [
         c for c in small_tbl.column_names
-        if c not in (start_col, end_col) and c in big_names
+        if c not in (start_col, end_col, by) and c in big_names
     ]
     if overlap:
         raise ValueError(
@@ -371,6 +430,7 @@ def interval_join_broadcast(
             "on": on,
             "start_col": start_col,
             "end_col": end_col,
+            "by": by,
         },
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -1909,6 +1909,43 @@ class TestIntervalJoin:
                 ray.data.from_pandas(iv.rename(columns={"iv_id": "id"})),
                 on="t")
 
+    def test_keyed_interval_join_matches_sql(self):
+        import duckdb
+
+        from plugin_debezium_ray.functions.joins import (
+            interval_join_broadcast,
+        )
+
+        rng = np.random.default_rng(31)
+        left = pd.DataFrame({
+            "id": np.arange(2500, dtype=np.int64),
+            "k": rng.integers(0, 12, 2500),
+            "t": rng.integers(0, 5000, 2500).astype(float),
+        })
+        left.loc[[5, 6], "k"] = pd.NA  # null keys never match
+        left = left.astype({"k": "Int64"})
+        starts = rng.integers(0, 5000, 80).astype(float)
+        iv = pd.DataFrame({
+            "k": rng.integers(0, 14, 80).astype("int64"),
+            "iv_id": np.arange(80, dtype=np.int64),
+            "start_ts": starts,
+            "end_ts": starts + rng.integers(1, 600, 80),
+        })
+        out = (interval_join_broadcast(
+                   ray.data.from_pandas(left).repartition(5),
+                   ray.data.from_pandas(iv), on="t", by="k")
+               .to_pandas())
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("iv", iv)
+        ref = con.execute(
+            "SELECT l.id, iv.iv_id FROM l JOIN iv ON l.k = iv.k "
+            "AND l.t >= iv.start_ts AND l.t < iv.end_ts"
+        ).df()
+        assert sorted(zip(out["id"], out["iv_id"])) == \
+            sorted(zip(ref["id"], ref["iv_id"]))
+        assert "k" in out.columns and "iv_id" in out.columns
+
     def test_matches_sql_range_join(self):
         import duckdb
 
