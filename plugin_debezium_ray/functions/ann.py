@@ -24,7 +24,10 @@ import ray.data
 
 
 def _stack(col) -> np.ndarray:
-    return np.stack(col.to_pandas().to_numpy()).astype(np.float32)
+    # zero-copy buffer reshape for fixed/equal-length list columns
+    from plugin_debezium_ray.functions.dedup import _vectors_of
+
+    return _vectors_of(col, np.float32)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -399,7 +402,9 @@ def quantize_embeddings(
                  "q_min": pa.array([], pa.int64()),
                  "q_max": pa.array([], pa.int64())}
             )
-        vecs = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        from plugin_debezium_ray.functions.dedup import _vectors_of
+
+        vecs = _vectors_of(t[vec_col], np.float64)
         s = np.abs(vecs).max(axis=1)
         safe = np.where(s == 0.0, 1.0, s)
         q = np.trunc(vecs * 127.0 / safe[:, None]).astype(np.int8)

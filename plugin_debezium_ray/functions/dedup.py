@@ -1167,6 +1167,45 @@ def _fsb_to_vecs(col) -> np.ndarray:
     return flat[start : start + len(arr) * dim].reshape(len(arr), dim)
 
 
+def _vectors_of(col, dtype=None) -> np.ndarray:
+    """Embedding column → (n, dim) matrix WITHOUT per-row Python.
+
+    ``fixed_size_list`` and equal-length ``list``/``large_list`` columns
+    are one contiguous child buffer in Arrow, so the matrix is a
+    zero-copy reshape of that buffer (plus one vectorized ``astype``
+    when ``dtype`` differs — micro-bench note in BASELINE.md round 5).
+    Null entries or ragged lengths fall back to the per-row path (which
+    raises ``ValueError`` on genuinely ragged/null vectors, matching the
+    old ``np.stack``-of-rows behavior — embeddings must be dense).  The
+    fast path can return a READ-ONLY view — callers must not mutate in
+    place (normalization should be ``m = m / n``, never ``m /= n``)."""
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = ca.type
+    flat = None
+    if ca.null_count == 0 and len(ca) > 0:
+        if pa.types.is_fixed_size_list(t):
+            dim = t.list_size
+            # .values ignores a slice offset — index it explicitly
+            flat = ca.values.to_numpy(zero_copy_only=False)[
+                ca.offset * dim : (ca.offset + len(ca)) * dim
+            ]
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            offs = ca.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            dim = int(widths[0]) if len(widths) else 0
+            if dim > 0 and (widths == dim).all():
+                flat = ca.values.to_numpy(zero_copy_only=False)[
+                    int(offs[0]) : int(offs[-1])
+                ]
+    if flat is not None:
+        m = flat.reshape(len(ca), dim)
+        return m if dtype is None else m.astype(dtype, copy=False)
+    rows = [np.asarray(v, dtype=dtype) for v in ca.to_pylist()]
+    if not rows:
+        return np.empty((0, 0), dtype=dtype or np.float64)
+    return np.stack(rows)
+
+
 def embedding_dedup_pairs_ds(
     ds: "ray.data.Dataset",
     *,
@@ -1203,7 +1242,7 @@ def embedding_dedup_pairs_ds(
     planes = rng.standard_normal((num_tables, num_planes, dim)).astype(np.float32)
 
     def sig(t: pa.Table) -> pa.Table:
-        vecs = np.stack(t[vec_col].to_pandas().to_numpy())
+        vecs = _vectors_of(t[vec_col])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         normed = (vecs / np.maximum(norms, 1e-12)).astype(np.float32)
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -1410,7 +1449,7 @@ def cosine_pairs_exact(
                 {"_id": pa.array([], t[id_col].type),
                  "_vec": pa.array([], pa.binary())}
             )
-        vecs = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs = _vectors_of(t[vec_col], np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         normed = vecs / np.maximum(norms, 1e-300)
         return pa.table(
@@ -1495,24 +1534,24 @@ def semantic_dedup(
         def __call__(self, t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t.append_column("_cluster", pa.array([], pa.int32()))
-            m = np.stack([
-                np.asarray(v, dtype=np.float32)
-                for v in t[vec_col].to_pylist()
-            ])
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            m = _vectors_of(t[vec_col], np.float32)
+            # _vectors_of can hand back a read-only Arrow view — divide
+            # out of place
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             c = np.argmax(m @ self.c.T, axis=1).astype(np.int32)
             return t.append_column("_cluster", pa.array(c))
 
     def prune(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            # an empty block can arrive WITH the assign schema — drop the
+            # helper column so every output block shares one schema
+            if "_cluster" in t.column_names:
+                return t.drop_columns(["_cluster"])
             return t
         order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
         t = t.take(order)
-        m = np.stack([
-            np.asarray(v, dtype=np.float64)
-            for v in t[vec_col].to_pylist()
-        ])
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        m = _vectors_of(t[vec_col], np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         n = len(m)
         drop = np.zeros(n, dtype=bool)
         for s in range(0, n, max_cluster_block):

@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from plugin_debezium_ray.functions.selection import group_key_hash64
+
 _HOW_TO_ARROW = {
     "inner": "inner",
     "left": "left outer",
@@ -281,7 +283,9 @@ class _IntervalProbe:
         # dropping them here also keeps hi - lo non-negative below
         keep = pc.and_(keep, pc.greater(right[end_col], right[start_col]))
         if by is not None:
-            keep = pc.and_(keep, pc.is_valid(right[by]))
+            # null AND float-NaN keys never match (same join-key
+            # semantics as the asof joins' _valid_key_mask)
+            keep = pc.and_(keep, _valid_key_mask(right, [by]))
         right = right.filter(keep)
         self.on = on
         self.by = by
@@ -335,7 +339,11 @@ class _IntervalProbe:
             kv = np.empty(n, dtype=object)
             for i, k in enumerate(t[self.by].to_pylist()):
                 kv[i] = k
-            valid &= np.array([k is not None for k in kv], dtype=bool)
+            # pd.isna covers None AND float NaN: a NaN key would
+            # factorize to code -1 and uniques[-1] silently WRAPS to the
+            # last key's intervals (and an all-NaN batch would IndexError
+            # on empty uniques) — exclude both like the asof joins do
+            valid &= ~pd.isna(kv)
             vidx = np.flatnonzero(valid)
             if len(vidx) == 0:
                 return empty()
@@ -519,7 +527,15 @@ def asof_join_shuffle(
     ``num_partitions`` with the corpus.  Schemas are resolved eagerly
     to build the tagged union — ``materialize()`` a lazy input first if
     its upstream is expensive (a lazy ``schema()`` runs a limit-1 plan
-    of the whole upstream)."""
+    of the whole upstream).
+
+    Tie contract: with DUPLICATE ``(by, on)`` right rows the winner is
+    unspecified — row order inside a shuffle partition is not
+    deterministic across runs, so reruns may pick different payloads
+    (``asof_join_broadcast`` instead guarantees last-in-input-order).
+    Dedupe the reference side upstream when duplicate keys are
+    possible; a global tiebreak here would cost a full extra sort of
+    the right side for a case LWW upstreams already resolve."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
 
@@ -557,9 +573,7 @@ def asof_join_shuffle(
         ).astype(bool)
         part = np.full(tv.num_rows, num_partitions, dtype=np.int32)
         if valid.any():
-            vk = (tv.filter(pa.array(valid))[by]
-                  .to_numpy(zero_copy_only=False).astype(object))
-            h = pd.util.hash_array(vk)
+            h = group_key_hash64(tv.filter(pa.array(valid))[by])
             part[valid] = (h % np.uint64(num_partitions)).astype(np.int32)
         return tv.append_column("_part", pa.array(part)).select(canon)
 
@@ -571,9 +585,7 @@ def asof_join_shuffle(
         tv = tv.append_column(
             "_side", pa.array(np.ones(tv.num_rows, dtype=np.int8))
         )
-        h = pd.util.hash_array(
-            tv[by].to_numpy(zero_copy_only=False).astype(object)
-        )
+        h = group_key_hash64(tv[by])
         part = (h % np.uint64(num_partitions)).astype(np.int32)
         return tv.append_column("_part", pa.array(part)).select(canon)
 

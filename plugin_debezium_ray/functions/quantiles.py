@@ -129,6 +129,7 @@ def exact_quantiles(
     qs: "list[float]",
     *,
     by: "str | None" = None,
+    max_groups: int = 100_000,
 ) -> pd.DataFrame:
     """Exact discrete quantiles of ``col`` — globally, or per group of
     ``by``.  Returns a small DataFrame ``(q, value)`` (plus the group
@@ -140,7 +141,12 @@ def exact_quantiles(
     exactly ``GROUP BY`` + ``quantile_disc``.
 
     The result is driver-side by design: quantile output is O(groups ×
-    len(qs)) scalars, the classic small-answer/huge-input aggregate."""
+    len(qs)) scalars, the classic small-answer/huge-input aggregate —
+    which also means ``by`` must be a ROLLUP key, not an id: the driver
+    folds one span list per group.  ``max_groups`` guards that contract
+    (same raise-don't-OOM style as ``broadcast_join``'s
+    ``small_max_rows``); for million-group keys compute per-group
+    quantiles distributed instead (``groupby(by).map_groups``)."""
     bad_q = [q for q in qs if not 0.0 <= q <= 1.0]
     if bad_q:
         # a q > 1 would otherwise walk past every group's span and
@@ -197,6 +203,14 @@ def exact_quantiles(
     for bi, runs in enumerate(runs_per_block):
         for g, start, cnt in runs:
             if g not in spans:
+                if len(spans) >= max_groups:
+                    raise ValueError(
+                        f"exact_quantiles(by={by!r}) exceeded max_groups="
+                        f"{max_groups}: the driver fold is O(groups) and "
+                        "`by` must be a rollup key — raise max_groups "
+                        "deliberately or compute per-group quantiles "
+                        "distributed via groupby().map_groups"
+                    )
                 spans[g] = []
                 order.append(g)
             spans[g].append((bi, start, cnt))

@@ -96,10 +96,12 @@ def grouped_top_k(
     scores sort last (never beat a scored row)."""
 
     def partial(t: pa.Table) -> pa.Table:
+        from plugin_debezium_ray.functions.selection import group_key_hash64
+
         out = _topk_table(t, group_col, score_col, id_col, k, ascending)
-        h = pd.util.hash_array(
-            out[group_col].to_numpy(zero_copy_only=False).astype(object)
-        )
+        # null-stable + vectorized: the old object-boxed hash split a
+        # group across partitions when only SOME blocks held nulls
+        h = group_key_hash64(out[group_col])
         part = (h % np.uint64(num_partitions)).astype(np.int32)
         return out.append_column("_part", pa.array(part))
 

@@ -59,6 +59,39 @@ def duckdb_hash64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def group_key_hash64(col) -> np.ndarray:
+    """Partition hash over a group-key column that is STABLE across
+    blocks regardless of null presence.  The naive
+    ``hash_array(to_numpy().astype(object))`` is type-UNstable for
+    nullable numerics: a block containing one null converts int64 →
+    float64 (``np.float64(16.0)`` objects) while a null-free block
+    yields ``np.int64(16)``, pandas hashes the two differently, and the
+    same group lands in two partitions (downstream "top k per group"
+    then emits up to 2k rows).  Fix: int/float keys canonicalize to
+    float64 (nulls → one NaN bit pattern, −0.0 → +0.0) and hash their
+    BIT patterns through the vectorized ``duckdb_hash64`` — no per-key
+    boxing.  Strings use pandas' vectorized object hash; exotic types
+    fall back to boxed ``to_pylist`` values (boxing there does not
+    depend on null presence, so it is block-stable too).  A collision
+    between distinct keys only co-locates two groups — every caller
+    re-groups within the partition."""
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = ca.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        x = ca.to_numpy(zero_copy_only=False).astype(np.float64)
+        x[x == 0.0] = 0.0  # −0.0 == 0.0 as a key → one bit pattern
+        x[np.isnan(x)] = np.nan  # null/NaN payloads → canonical NaN
+        return duckdb_hash64(x.view(np.uint64))
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pd.util.hash_array(
+            ca.to_numpy(zero_copy_only=False).astype(object)
+        )
+    vals = np.empty(len(ca), dtype=object)
+    for i, v in enumerate(ca.to_pylist()):
+        vals[i] = v
+    return pd.util.hash_array(vals)
+
+
 def hash_split(
     ds: "ray.data.Dataset",
     splits: "dict[str, float]",

@@ -1946,6 +1946,39 @@ class TestIntervalJoin:
             sorted(zip(ref["id"], ref["iv_id"]))
         assert "k" in out.columns and "iv_id" in out.columns
 
+    def test_nan_keys_never_match(self):
+        # regression: float-NaN left keys passed the `is not None`
+        # check, factorized to code -1, and uniques[-1] silently WRAPPED
+        # to the LAST key's intervals; a batch whose valid-time rows
+        # were ALL NaN-keyed crashed with IndexError on empty uniques.
+        from plugin_debezium_ray.functions.joins import (
+            interval_join_broadcast,
+        )
+
+        # block A: every key NaN (the old IndexError shape)
+        la = pd.DataFrame({
+            "id": [1, 2],
+            "k": [float("nan"), float("nan")],
+            "t": [5.0, 15.0],
+        })
+        # block B: mixed NaN / valid / null keys
+        lb = pd.DataFrame({
+            "id": [3, 4, 5, 6],
+            "k": [1.0, float("nan"), 2.0, None],
+            "t": [5.0, 5.0, 15.0, 5.0],
+        })
+        iv = pd.DataFrame({
+            "k": [1.0, 2.0, float("nan")],  # NaN interval key: dropped
+            "iv_id": [10, 20, 30],
+            "start_ts": [0.0, 10.0, 0.0],
+            "end_ts": [100.0, 100.0, 100.0],
+        })
+        left = ray.data.from_pandas(la).union(ray.data.from_pandas(lb))
+        out = interval_join_broadcast(
+            left, ray.data.from_pandas(iv), on="t", by="k",
+        ).to_pandas()
+        assert sorted(zip(out["id"], out["iv_id"])) == [(3, 10), (5, 20)]
+
     def test_matches_sql_range_join(self):
         import duckdb
 
@@ -2059,6 +2092,21 @@ class TestSemanticDedup:
                            threshold=0.95, max_cluster_block=3).to_pandas()
         assert sorted(a["vec_id"]) == sorted(b["vec_id"])
 
+    def test_empty_block_keeps_one_output_schema(self):
+        # an empty input block rides the whole plan; no block of the
+        # output stream may keep the internal _cluster column
+        from plugin_debezium_ray.functions.dedup import semantic_dedup
+
+        df = self._planted()
+        ds = ray.data.from_pandas(df).union(
+            ray.data.from_pandas(df.iloc[0:0]))
+        out = semantic_dedup(ds, n_clusters=3, threshold=0.95)
+        schemas = {tuple(b.column_names)
+                   for b in out.iter_batches(batch_format="pyarrow")}
+        for names in schemas:
+            assert "_cluster" not in names
+        assert len({tuple(sorted(n)) for n in schemas}) == 1
+
 
 class TestTfidf:
     def test_doc_term_counts_batch(self):
@@ -2153,6 +2201,20 @@ class TestExactQuantiles:
         out = exact_quantiles(one, "x", [0.0, 0.5, 1.0])
         assert out["value"].tolist() == [7, 7, 7]
 
+    def test_max_groups_guard(self):
+        from plugin_debezium_ray.functions.quantiles import exact_quantiles
+
+        df = pd.DataFrame({
+            "g": np.arange(20, dtype=np.int64),  # 20 distinct groups
+            "x": np.arange(20, dtype=np.int64),
+        })
+        ds = ray.data.from_pandas(df)
+        with pytest.raises(ValueError, match="max_groups"):
+            exact_quantiles(ds, "x", [0.5], by="g", max_groups=10)
+        # at the bound it still works
+        out = exact_quantiles(ds, "x", [0.5], by="g", max_groups=20)
+        assert len(out) == 20
+
 
 class TestGroupedTopK:
     def test_matches_window_reference(self):
@@ -2193,3 +2255,125 @@ class TestGroupedTopK:
         got = sorted(zip(out["lang"], out["doc_id"]))
         # fr has fewer than k rows — all survive; ascending keeps lowest
         assert got == [("en", 1), ("en", 2), ("fr", 3)]
+
+    def test_nullable_numeric_group_hash_stable(self):
+        # regression: a block CONTAINING a null used to convert the
+        # int64 group col to float64 objects while null-free blocks
+        # hashed np.int64 objects — the same group landed in two
+        # partitions and k doubled.  Two explicit blocks, group 16 in
+        # both, null only in the second.
+        from plugin_debezium_ray.functions.ranking import grouped_top_k
+
+        t1 = pa.table({
+            "g": pa.array([16, 16, 16], pa.int64()),
+            "score": pa.array([1, 2, 3], pa.int64()),
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+        })
+        t2 = pa.table({
+            "g": pa.array([16, 16, None], pa.int64()),
+            "score": pa.array([4, 5, 6], pa.int64()),
+            "doc_id": pa.array([3, 4, 5], pa.int64()),
+        })
+        ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+        out = grouped_top_k(
+            ds, group_col="g", score_col="score", id_col="doc_id", k=2,
+        ).to_pandas()
+        g16 = out[out["g"] == 16]
+        assert len(g16) == 2, f"group split across partitions: {out}"
+        assert sorted(g16["doc_id"]) == [3, 4]  # scores 4, 5 win
+        # the null group is its own group and keeps its single row
+        assert out["g"].isna().sum() == 1
+
+
+class TestVectorsOf:
+    """Zero-copy embedding-column ingestion (`_vectors_of`)."""
+
+    def _ref(self, col, dtype):
+        rows = [np.asarray(v, dtype=dtype) for v in col.to_pylist()]
+        return np.stack(rows) if rows else np.empty((0, 0), dtype=dtype)
+
+    def test_fixed_size_list_zero_copy(self):
+        from plugin_debezium_ray.functions.dedup import _vectors_of
+
+        m = np.arange(24, dtype=np.float32).reshape(6, 4)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), 4)
+        got = _vectors_of(pa.chunked_array([arr]))
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, m)
+        # sliced array must honour the offset
+        got2 = _vectors_of(arr.slice(2, 3))
+        np.testing.assert_array_equal(got2, m[2:5])
+
+    def test_variable_list_equal_lengths(self):
+        from plugin_debezium_ray.functions.dedup import _vectors_of
+
+        rows = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+        arr = pa.array(rows, type=pa.list_(pa.float32()))
+        got = _vectors_of(arr, np.float64)
+        np.testing.assert_array_equal(got, self._ref(arr, np.float64))
+        assert got.dtype == np.float64
+        # sliced list array (non-zero offsets[0])
+        got2 = _vectors_of(arr.slice(1, 2))
+        np.testing.assert_array_equal(got2, np.array(rows[1:3], np.float32))
+
+    def test_ragged_raises(self):
+        from plugin_debezium_ray.functions.dedup import _vectors_of
+
+        # embeddings must be equal-length; ragged input surfaces as the
+        # same ValueError the old per-row np.stack path raised
+        ragged = pa.array([[1.0], [2.0, 3.0], [4.0]],
+                          type=pa.list_(pa.float64()))
+        with pytest.raises(ValueError):
+            _vectors_of(ragged, np.float64)
+
+    def test_empty(self):
+        from plugin_debezium_ray.functions.dedup import _vectors_of
+
+        arr = pa.array([], type=pa.list_(pa.float32()))
+        got = _vectors_of(arr, np.float32)
+        assert got.shape[0] == 0
+
+    def test_matches_old_path_on_testdata_shape(self):
+        from plugin_debezium_ray.functions.dedup import _vectors_of
+
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(50, 8)).astype(np.float32)
+        arr = pa.array([r.tolist() for r in m], type=pa.list_(pa.float32()))
+        np.testing.assert_array_equal(_vectors_of(arr, np.float32), m)
+
+
+class TestGroupKeyHash:
+    """Block-stable partition hashing for group keys."""
+
+    def test_int_hash_stable_across_null_presence(self):
+        from plugin_debezium_ray.functions.selection import group_key_hash64
+
+        clean = group_key_hash64(pa.array([16, 17, 18], pa.int64()))
+        dirty = group_key_hash64(pa.array([16, None, 18], pa.int64()))
+        assert clean[0] == dirty[0]
+        assert clean[2] == dirty[2]
+
+    def test_int_and_float_same_value_same_hash(self):
+        from plugin_debezium_ray.functions.selection import group_key_hash64
+
+        hi = group_key_hash64(pa.array([16], pa.int64()))
+        hf = group_key_hash64(pa.array([16.0], pa.float64()))
+        assert hi[0] == hf[0]
+
+    def test_zero_and_nan_canonicalized(self):
+        from plugin_debezium_ray.functions.selection import group_key_hash64
+
+        h = group_key_hash64(pa.array([0.0, -0.0], pa.float64()))
+        assert h[0] == h[1]
+        h2 = group_key_hash64(
+            pa.array([float("nan"), None], pa.float64()))
+        assert h2[0] == h2[1]
+
+    def test_string_and_exotic_paths(self):
+        from plugin_debezium_ray.functions.selection import group_key_hash64
+
+        hs = group_key_hash64(pa.array(["a", "b", None]))
+        assert hs[0] != hs[1]
+        a = group_key_hash64(pa.array([True, False, None]))
+        b = group_key_hash64(pa.array([True, False, True]))
+        assert a[0] == b[0] and a[1] == b[1]
