@@ -389,6 +389,13 @@ def top_terms_by_tfidf(
         lambda t: doc_term_counts_batch(t, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
     )
+    # `terms` feeds TWO consumers (the DF groupby and the join's big
+    # side) and Ray Data does not cache unmaterialized plans — without
+    # this the corpus is tokenized twice (a full extra corpus scan at
+    # scale).  The materialized blocks live in the object store and
+    # spill if needed; (id, term, tf) rows are far smaller than the
+    # corpus text itself.
+    terms = terms.materialize()
     dfreq = terms.groupby("term").count()
 
     def rename_df(t: pa.Table) -> pa.Table:

@@ -38,22 +38,35 @@ from plugin_debezium_ray.state.checkpoint import CheckpointManager
 
 
 @ray.remote
-def _bucket_partial(path: str, group_col: str, sum_col: "str | None"):
-    """One bucket file → [[group, count, sum, n_sum_nonnull], ...]
-    (sum fields omitted without a sum_col).  Column-pruned read; the
-    fold itself is ONE Arrow group_by aggregate (vectorized — never a
-    Python loop over rows); runs as an ordinary Ray task so changed
-    buckets recompute in parallel across the cluster.
+def _bucket_partial(path: str, group_col: str, sum_col: "str | None",
+                    minmax_col: "str | None" = None):
+    """One bucket file → ``[[group, count, (sum, n_sum)?, (min, max)?],
+    ...]`` — the optional field pairs appear exactly when the matching
+    column is configured, in that order.  Column-pruned read; the fold
+    itself is ONE Arrow group_by aggregate (vectorized — never a Python
+    loop over rows); runs as an ordinary Ray task so changed buckets
+    recompute in parallel across the cluster.
 
-    Group keys keep their native JSON-scalar types (str/int/float/
-    bool/null); other key types (dates, ...) round-trip through the
-    JSON cache as strings — documented on the class."""
+    min/max partials are exact under DELETES too, not just inserts: the
+    lake's commit protocol rewrites a touched bucket WHOLE, so a changed
+    bucket's partial is always recomputed from its full current
+    contents — there is no "subtract the deleted row" step where
+    min/max would lose associativity.
+
+    Group keys (and min/max values) keep their native JSON-scalar types
+    (str/int/float/bool/null); other types (dates, ...) round-trip
+    through the JSON cache as strings — documented on the class."""
     import pyarrow.parquet as pq
 
-    cols = [group_col] + ([sum_col] if sum_col else [])
+    cols = [group_col]
+    if sum_col:
+        cols.append(sum_col)
+    if minmax_col and minmax_col not in cols:
+        cols.append(minmax_col)
     t = pq.read_table(path, columns=cols)
     if t.num_rows == 0:
         return []
+    aggs = [([], "count_all")]
     if sum_col:
         styp = t[sum_col].type
         if not (pa.types.is_integer(styp) or pa.types.is_floating(styp)):
@@ -62,24 +75,26 @@ def _bucket_partial(path: str, group_col: str, sum_col: "str | None"):
                 "decimal aggregation belongs in a full query, not the "
                 "float-folding MV cache"
             )
-        agg = t.group_by([group_col]).aggregate(
-            [(sum_col, "sum"), (sum_col, "count"), ([], "count_all")]
-        )
-        return [
-            [_key(g), int(n), (0 if s is None else s), int(nv)]
-            for g, s, nv, n in zip(
-                agg[group_col].to_pylist(),
-                agg[f"{sum_col}_sum"].to_pylist(),
-                agg[f"{sum_col}_count"].to_pylist(),
-                agg["count_all"].to_pylist(),
-            )
-        ]
-    agg = t.group_by([group_col]).aggregate([([], "count_all")])
-    return [
-        [_key(g), int(n)]
-        for g, n in zip(agg[group_col].to_pylist(),
-                        agg["count_all"].to_pylist())
-    ]
+        aggs += [(sum_col, "sum"), (sum_col, "count")]
+    if minmax_col:
+        aggs += [(minmax_col, "min"), (minmax_col, "max")]
+    agg = t.group_by([group_col]).aggregate(aggs)
+    out = []
+    n_col = agg["count_all"].to_pylist()
+    g_col = agg[group_col].to_pylist()
+    s_col = agg[f"{sum_col}_sum"].to_pylist() if sum_col else None
+    sn_col = agg[f"{sum_col}_count"].to_pylist() if sum_col else None
+    mn_col = agg[f"{minmax_col}_min"].to_pylist() if minmax_col else None
+    mx_col = agg[f"{minmax_col}_max"].to_pylist() if minmax_col else None
+    for i, g in enumerate(g_col):
+        entry = [_key(g), int(n_col[i])]
+        if sum_col:
+            s = s_col[i]
+            entry += [(0 if s is None else s), int(sn_col[i])]
+        if minmax_col:
+            entry += [_key(mn_col[i]), _key(mx_col[i])]
+        out.append(entry)
+    return out
 
 
 def _key(k):
@@ -91,22 +106,31 @@ def _key(k):
 
 
 class MaterializedAggregate:
-    """Per-group ``count(*)`` (+ optional ``sum(sum_col)``) over the
-    lake table, maintained incrementally across commits.
+    """Per-group ``count(*)`` (+ optional ``sum(sum_col)``, optional
+    ``min``/``max`` of ``minmax_col``) over the lake table, maintained
+    incrementally across commits.  All three folds are associative over
+    bucket partials, and since a commit rewrites touched buckets WHOLE,
+    min/max stay exact under deletes (the changed bucket's partial is
+    recomputed from scratch — no retraction logic needed).
 
     ``refresh()`` returns the aggregate of the CURRENT committed
-    version as ``[{group, n_rows[, total]}]`` rows and records how many
-    buckets were re-read (``last_recomputed`` — the observable that the
-    maintenance really is incremental)."""
+    version as ``[{group, n_rows[, total][, vmin, vmax]}]`` rows and
+    records how many buckets were re-read (``last_recomputed`` — the
+    observable that the maintenance really is incremental)."""
 
     def __init__(self, table_dir: str, *, group_col: str,
-                 sum_col: "str | None" = None, name: str = "mv"):
+                 sum_col: "str | None" = None,
+                 minmax_col: "str | None" = None, name: str = "mv"):
         self.table_dir = table_dir
         self.group_col = group_col
         self.sum_col = sum_col
+        self.minmax_col = minmax_col
         self.ckpt = CheckpointManager(table_dir)
         self.cache_path = os.path.join(
-            table_dir, "_meta", f"{name}-{group_col}-{sum_col or 'count'}.json"
+            table_dir, "_meta",
+            f"{name}-{group_col}-{sum_col or 'count'}"
+            + (f"-mm_{minmax_col}" if minmax_col else "")
+            + ".json",
         )
         self.last_recomputed: int | None = None
 
@@ -148,7 +172,9 @@ class MaterializedAggregate:
 
         if todo:
             fresh = ray.get([
-                _bucket_partial.remote(p, self.group_col, self.sum_col)
+                _bucket_partial.remote(
+                    p, self.group_col, self.sum_col, self.minmax_col
+                )
                 for p in todo.values()
             ])
             keep.update(zip(todo.keys(), fresh))
@@ -158,21 +184,39 @@ class MaterializedAggregate:
             "version": int(manifest.get("version", 0)),
             "group_col": self.group_col,
             "sum_col": self.sum_col,
+            "minmax_col": self.minmax_col,
             "partials": keep,
         })
 
+        # folded[k] = [n, sum, n_sum, vmin, vmax] (fields present per
+        # config; additive fields fold by +, min/max by comparison —
+        # None means "all null so far" for both)
         folded: dict = {}
+        mm_at = 3 if self.sum_col else 1  # index of vmin within acc
         for part in keep.values():
             for entry in part:
                 k, acc = entry[0], entry[1:]
-                tgt = folded.setdefault(k, [0] * len(acc))
-                for i, v in enumerate(acc):
-                    tgt[i] += v
+                tgt = folded.get(k)
+                if tgt is None:
+                    folded[k] = list(acc)
+                    continue
+                tgt[0] += acc[0]
+                if self.sum_col:
+                    tgt[1] += acc[1]
+                    tgt[2] += acc[2]
+                if self.minmax_col:
+                    for j, pickfn in ((mm_at, min), (mm_at + 1, max)):
+                        a, b = tgt[j], acc[j]
+                        tgt[j] = (a if b is None else
+                                  b if a is None else pickfn(a, b))
         rows = []
         for k in sorted(folded, key=lambda g: (g is None, str(g))):
             row = {self.group_col: k, "n_rows": folded[k][0]}
             if self.sum_col:
                 # SQL SUM over an all-null group is NULL, not 0
                 row["total"] = folded[k][1] if folded[k][2] else None
+            if self.minmax_col:
+                row["vmin"] = folded[k][mm_at]
+                row["vmax"] = folded[k][mm_at + 1]
             rows.append(row)
         return rows

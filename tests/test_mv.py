@@ -126,3 +126,78 @@ def test_mv_typed_int_groups_null_sums_and_decimal_guard(tmp_path):
     with pytest.raises(TypeError, match="integer or float"):
         ray.get(_bucket_partial.remote(str(tmp_path / "d.parquet"),
                                        "g", "x"))
+
+
+def test_mv_minmax_exact_under_deletes(tmp_path):
+    """min/max partials stay EXACT under deletes: a commit rewrites the
+    touched bucket whole, so the recomputed partial reflects the
+    post-delete contents — deleting a group's current max must LOWER
+    vmax on the next refresh (no retraction logic, no staleness)."""
+    import pyarrow as pa
+    import ray.data
+
+    from plugin_debezium_ray.sources.from_table import envelopes_from_table
+
+    def env(table, lsns):
+        t = table.append_column("lsn", pa.array(lsns, pa.int64()))
+        return envelopes_from_table(
+            ray.data.from_arrow(t), key_cols=("k",), lsn_col="lsn",
+            payload_cols=["k", "lang", "val"], op_col="op",
+            op_map={"c": "c", "d": "d"}, table="t",
+        )
+
+    job = ReplayJob(CaptureConfig(key_cols=("k",), num_buckets=4),
+                    str(tmp_path))
+    n = 40
+    t1 = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["a" if i % 2 == 0 else "b" for i in range(n)]),
+        "val": pa.array(range(n), pa.int64()),
+        "op": pa.array(["c"] * n),
+    })
+    job.run(env(t1, range(1, n + 1)), ddl_source=False)
+    mv = MaterializedAggregate(str(tmp_path), group_col="lang",
+                               sum_col="val", minmax_col="val")
+    r1 = {r["lang"]: r for r in mv.refresh()}
+    assert (r1["a"]["vmin"], r1["a"]["vmax"]) == (0, 38)
+    assert (r1["b"]["vmin"], r1["b"]["vmax"]) == (1, 39)
+
+    # delete a's max (k=38), b's max (k=39), and a's min (k=0)
+    t2 = pa.table({
+        "k": pa.array([38, 39, 0], pa.int64()),
+        "lang": pa.array(["a", "b", "a"]),
+        "val": pa.array([38, 39, 0], pa.int64()),
+        "op": pa.array(["d"] * 3),
+    })
+    job.run(env(t2, [n + 1, n + 2, n + 3]), ddl_source=False)
+    r2 = {r["lang"]: r for r in mv.refresh()}
+    assert mv.last_recomputed <= 4  # only touched buckets re-read
+    assert (r2["a"]["vmin"], r2["a"]["vmax"]) == (2, 36)
+    assert (r2["b"]["vmin"], r2["b"]["vmax"]) == (1, 37)
+    # full parity with a direct aggregate of the current lake
+    df = job.read_table().to_pandas()
+    g = df.groupby("lang")["val"].agg(["count", "sum", "min", "max"])
+    for lang, row in g.iterrows():
+        assert r2[lang]["n_rows"] == int(row["count"])
+        assert r2[lang]["total"] == int(row["sum"])
+        assert r2[lang]["vmin"] == int(row["min"])
+        assert r2[lang]["vmax"] == int(row["max"])
+
+
+def test_mv_minmax_string_and_null_groups(tmp_path):
+    """min/max over strings (JSON-native) and an all-null value group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from plugin_debezium_ray.pipelines.mv import _bucket_partial
+
+    t = pa.table({
+        "g": pa.array([1, 1, 2], pa.int64()),
+        "s": pa.array(["beta", "alpha", None]),
+    })
+    p = str(tmp_path / "b.parquet")
+    pq.write_table(t, p)
+    part = ray.get(_bucket_partial.remote(p, "g", None, "s"))
+    got = {e[0]: tuple(e[1:]) for e in part}
+    assert got == {1: (2, "alpha", "beta"), 2: (1, None, None)}
