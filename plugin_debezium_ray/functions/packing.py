@@ -60,9 +60,15 @@ def chunk_documents(
     (inner whitespace kept byte-exact — what a RAG pipeline usually
     wants).  Null / empty docs emit no chunks.
 
-    Per doc the text is materialized at most once (the single-space
-    join) and every chunk is a string SLICE via token char offsets —
-    overlapping windows never re-join their shared tokens."""
+    The default (joined) mode is fully VECTORIZED at the batch level:
+    ONE Arrow ``split_pattern_regex`` tokenizes the whole batch, numpy
+    segmented arithmetic lays out every chunk's token window, one
+    ``pc.take`` gathers the (overlap-duplicated) tokens and one
+    ``pc.binary_join`` renders all chunk texts — no per-document Python
+    loop (measured 2.0× the loop path on sf0.1 documents, byte-equal
+    output; BASELINE.md round-5 A/B line).  ``preserve_whitespace``
+    needs regex match SPANS, which Arrow has no kernel for, so that
+    mode keeps the per-doc loop with string slices."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
@@ -71,7 +77,62 @@ def chunk_documents(
     # RE2's \s is exactly [\t\n\f\r ] (no \v, no Unicode spaces) —
     # Python's Unicode-aware \S+ would split on NBSP where the Arrow /
     # DuckDB kernels don't, so spell the class out for oracle parity
+    _WS = "\t\n\f\r "
     word_re = _re.compile(r"[^\t\n\f\r ]+")
+
+    def empty_out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pa.array([], type=t[id_col].type),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "n_chunk_tokens": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string()),
+        })
+
+    def explode_vec(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out(t)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim(t[text_col], characters=_WS),
+            pattern=f"[{_WS}]+",
+        )
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offs)  # null docs → zero-width lists
+        flat = toks.values
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        # a trimmed empty/whitespace-only doc splits to [''] — one
+        # zero-length token ⇒ treat as zero tokens (the loop path's
+        # findall simply finds nothing)
+        n_eff = n_tok.copy()
+        ones = np.flatnonzero(n_tok == 1)
+        if len(ones):
+            n_eff[ones[lens[offs[:-1][ones]] == 0]] = 0
+        n_chunks = np.where(
+            n_eff > 0, (np.maximum(n_eff - 1, 0) // stride) + 1, 0
+        )
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty_out(t)
+        doc = np.repeat(np.arange(len(n_tok)), n_chunks)
+        base = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        chunk_id = np.arange(total) - base[doc]
+        s_tok = chunk_id * stride
+        width = np.minimum(s_tok + chunk_tokens, n_eff[doc]) - s_tok
+        # gather indices for every chunk's tokens (overlap duplicates)
+        ch_off = np.concatenate([[0], np.cumsum(width)])
+        idx = (np.arange(int(ch_off[-1]))
+               - np.repeat(ch_off[:-1], width)
+               + np.repeat(offs[:-1][doc] + s_tok, width))
+        chunks = pa.LargeListArray.from_arrays(
+            pa.array(ch_off, type=pa.int64()), pc.take(flat, pa.array(idx))
+        )
+        return pa.table({
+            id_col: pc.take(t[id_col].combine_chunks(), pa.array(doc)),
+            "chunk_id": pa.array(chunk_id, type=pa.int64()),
+            "n_chunk_tokens": pa.array(width, type=pa.int64()),
+            "chunk_text": pc.cast(pc.binary_join(chunks, " "), pa.string()),
+        })
 
     def explode(t: pa.Table) -> pa.Table:
         ids_out: list = []
@@ -82,30 +143,17 @@ def chunk_documents(
         for did, tx in zip(ids, t[text_col].to_pylist()):
             if tx is None:
                 continue
-            if preserve_whitespace:
-                spans = [m.span() for m in word_re.finditer(tx)]
-                n = len(spans)
-                if n == 0:
-                    continue
-                starts = np.fromiter(
-                    (s for s, _ in spans), dtype=np.int64, count=n
-                )
-                ends = np.fromiter(
-                    (e for _, e in spans), dtype=np.int64, count=n
-                )
-                src = tx
-            else:
-                toks = word_re.findall(tx)
-                n = len(toks)
-                if n == 0:
-                    continue
-                lens = np.fromiter(map(len, toks), dtype=np.int64, count=n)
-                # char offset of token j in the normalized text is the
-                # running sum of (len + 1 separator space)
-                starts = np.zeros(n, dtype=np.int64)
-                np.cumsum(lens[:-1] + 1, out=starts[1:])
-                ends = starts + lens
-                src = " ".join(toks)
+            spans = [m.span() for m in word_re.finditer(tx)]
+            n = len(spans)
+            if n == 0:
+                continue
+            starts = np.fromiter(
+                (s for s, _ in spans), dtype=np.int64, count=n
+            )
+            ends = np.fromiter(
+                (e for _, e in spans), dtype=np.int64, count=n
+            )
+            src = tx
             for ci, s in enumerate(range(0, n, stride)):
                 e = min(s + chunk_tokens, n)
                 ids_out.append(did)
@@ -121,7 +169,10 @@ def chunk_documents(
             }
         )
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(
+        explode if preserve_whitespace else explode_vec,
+        batch_format="pyarrow",
+    )
 
 
 @ray.remote

@@ -43,6 +43,8 @@ def capture_to_files(
     *,
     min_rows_per_file: int | None = None,
     file_format: str = "parquet",
+    type_hints: "dict[str, str] | None" = None,
+    type_defaults: "dict[str, object] | None" = None,
 ) -> CaptureOutput:
     """Decode + format the envelope stream and write one directory per
     output stream.
@@ -56,11 +58,27 @@ def capture_to_files(
     `ChangeConsumer.java:192`) with Ion's typed scalars (unquoted
     timestamps, ``{{base64}}`` blobs, exact decimals; see ``serde.py``).
     Both row formats write stream-per-stream, still never materializing
-    a stream on the driver."""
+    a stream on the driver.
+
+    ``type_hints`` ({column: logical type name}) applies the 14-entry
+    logical-type decode matrix (``stages/types.py``) after the envelope
+    decode — in the reference this conversion happens inside the
+    embedded engine before the consumer serializes
+    (`MapConverter.java:56-96`), so the file sink always sees
+    date/timestamp/decimal/... as typed values, never raw ints.
+    ``type_defaults`` substitutes per-column defaults for nulls before
+    decode (`MapConverter.java:45-47`)."""
     decoder = EnvelopeDecoder(config)
     decoded = envelopes.map_batches(
         decoder, batch_format="pyarrow", batch_size=config.batch_size
     )
+    if type_hints or type_defaults:
+        from plugin_debezium_ray.stages.types import logical_decoder
+
+        decoded = decoded.map_batches(
+            logical_decoder(type_hints or {}, type_defaults),
+            batch_format="pyarrow",
+        )
     if file_format == "jsonl":
         return _capture_jsonl(decoded, out_dir)
     if file_format == "ion":

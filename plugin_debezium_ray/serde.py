@@ -99,22 +99,30 @@ def _timestamp_repr(v: dt.datetime) -> str:
 
 
 def _duration_repr(v: dt.timedelta) -> str:
-    """ISO-8601 duration string (``PnDTnHnMn.nS``), sign-prefixed when
-    negative (java.time.Duration.toString-style)."""
+    """ISO-8601 duration string in java.time canonical TIME-component
+    form: days carry into hours (``timedelta(days=1)`` → ``PT24H``, not
+    ``P1DT0S``) and fraction digits strip trailing zeros (``PT0.5S``,
+    not ``PT0.500000S``) — so consumers comparing against
+    ``java.time.Duration.toString()`` output match.  ONE deliberate
+    deviation, documented here: negative durations are whole-string
+    sign-prefixed (``-PT1S``, valid ISO-8601) rather than java's
+    per-component signs (``PT-1S``) — simpler to parse, same value.
+    (The reference's own MicroDuration render is buggy —
+    ``Duration.ofMillis(us*1000)`` inflates by 1000× — so reference
+    bit-parity is deliberately NOT the target here.)"""
     us = (v.days * 86_400 + v.seconds) * 1_000_000 + v.microseconds
     sign = "-" if us < 0 else ""
     us = abs(us)
-    days, rem = divmod(us, 86_400_000_000)
-    h, rem = divmod(rem, 3_600_000_000)
+    h, rem = divmod(us, 3_600_000_000)
     m, rem = divmod(rem, 60_000_000)
     s, frac = divmod(rem, 1_000_000)
-    out = f"{sign}P" + (f"{days}D" if days else "") + "T"
+    out = f"{sign}PT"
     if h:
         out += f"{h}H"
     if m:
         out += f"{m}M"
     if frac:
-        out += f"{s}.{frac:06d}S"
+        out += f"{s}." + f"{frac:06d}".rstrip("0") + "S"
     elif s or out.endswith("T"):
         out += f"{s}S"
     return out

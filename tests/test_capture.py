@@ -1,6 +1,8 @@
 """Capture-to-files sink (K1/K3): per-stream Parquet output + Output
 contract, mirroring the reference's per-stream file writer semantics."""
 
+import os
+
 import pyarrow.parquet as pq
 
 import ray.data
@@ -289,3 +291,91 @@ def test_ion_sink_round_trip(tmp_path):
     assert out.counts["db1.a"] == len(rows)
     assert sorted(r["id"] for r in rows) == [1, 2]
     assert all(isinstance(r["deleted"], bool) for r in rows)
+
+
+def test_capture_to_ion_e2e_full_logical_matrix(tmp_path):
+    """END-TO-END K1 with the full 14-logical-type matrix: raw
+    envelopes (source-typed ints/strings) → capture_to_files(
+    file_format="ion", type_hints=...) → read the per-stream .ion files
+    back and assert Ion-typed scalars — `MapConverterTest.java:27-86`
+    driven through the whole capture path, not just the datasink.  The
+    logical conversion runs INSIDE the pipeline (type_hints), mirroring
+    the reference where the embedded engine converts before the
+    consumer serializes (`MapConverter.java:56-96`)."""
+    import datetime as dt
+    import glob
+    from decimal import Decimal
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from plugin_debezium_ray.serde import ion_loads
+
+    raw = {
+        "date": (pa.int32(), 19000),
+        "time": (pa.int32(), 3_600_000),
+        "micro_time": (pa.int64(), 3_600_000_000),
+        "nano_time": (pa.int64(), 3_600_000_000_000),
+        "ts": (pa.int64(), 86_400_000),
+        "micro_ts": (pa.int64(), 86_400_000_000),
+        "nano_ts": (pa.int64(), 86_400_000_000_000),
+        "micro_dur": (pa.int64(), 5_000_000),
+        "nano_dur": (pa.int64(), 5_000_000_000),
+        "year": (pa.int32(), 2022),
+        "zoned_ts": (pa.string(), "2022-01-08T01:02:03.000004+02:00"),
+        "zoned_time": (pa.string(), "03:02:03+02:00"),
+        "dec": (pa.string(), "123.456"),
+        "interval": (pa.string(), "P1Y2M3DT4H5M6S"),
+    }
+    hints = {
+        "date": "date", "time": "time", "micro_time": "micro_time",
+        "nano_time": "nano_time", "ts": "timestamp",
+        "micro_ts": "micro_timestamp", "nano_ts": "nano_timestamp",
+        "micro_dur": "micro_duration", "nano_dur": "nano_duration",
+        "year": "year", "zoned_ts": "zoned_timestamp",
+        "zoned_time": "zoned_time", "dec": "decimal",
+        "interval": "interval",
+    }
+    cols: dict = {"id": pa.array([1, 2], pa.int64())}
+    for name, (typ, v) in raw.items():
+        cols[name] = pa.array([v, None], type=typ)
+    cols["blob"] = pa.array([b"\x01\x02", None], pa.binary())
+    env = envelopes_from_table(
+        ray.data.from_arrow(pa.table(cols)),
+        key_cols=("id",),
+        lsn_col="id",
+        payload_cols=["id"] + list(raw) + ["blob"],
+        default_op="c",
+        db="db1",
+        table="typed",
+    )
+    out = capture_to_files(
+        env, CaptureConfig(key_cols=("id",)), str(tmp_path),
+        file_format="ion", type_hints=hints,
+    )
+    assert out.size == 2
+    rows = []
+    for d in out.uris.values():
+        for f in sorted(glob.glob(os.path.join(d, "*.ion"))):
+            with open(f) as fh:
+                rows.extend(ion_loads(ln) for ln in fh.read().splitlines())
+    rows.sort(key=lambda r: r["id"])
+    assert len(rows) == 2
+    full, nulls = rows
+    assert full["date"] == dt.date(2022, 1, 8)
+    assert full["year"] == dt.date(2022, 1, 1)
+    assert full["ts"] == dt.datetime(1970, 1, 2)
+    assert full["micro_ts"] == dt.datetime(1970, 1, 2)
+    assert full["nano_ts"] == dt.datetime(1970, 1, 2)
+    assert full["zoned_ts"] == dt.datetime(
+        2022, 1, 7, 23, 2, 3, 4, tzinfo=dt.timezone.utc)
+    assert full["dec"] == Decimal("123.456000000")
+    assert full["blob"] == b"\x01\x02"
+    assert full["time"] == "01:00:00"
+    assert full["micro_time"] == "01:00:00"
+    assert full["nano_time"] == "01:00:00"
+    assert full["zoned_time"] == "01:02:03"
+    assert full["micro_dur"] == "PT5S"
+    assert full["nano_dur"] == "PT5S"
+    assert full["interval"] == "P14M3DT14706.000000000S"
+    assert all(nulls[k] is None for k in list(raw) + ["blob"])

@@ -1258,6 +1258,45 @@ class TestChunking:
         with pytest.raises(ValueError):
             chunk_documents(ds, chunk_tokens=4, overlap=4)
 
+    def test_vectorized_matches_loop_reference(self):
+        # the Arrow split+take+binary_join path must be byte-equal to a
+        # per-doc regex loop on hostile whitespace (tabs/newlines/runs,
+        # NBSP must NOT split — RE2 \s semantics), empty/null docs, and
+        # both overlap settings
+        import re
+
+        from plugin_debezium_ray.functions.packing import chunk_documents
+
+        docs = pd.DataFrame({
+            "doc_id": list(range(8)),
+            "text": [
+                "a\tb\nc  d\r\re f",
+                "one",
+                "nb sp stays one token",
+                "  leading and trailing \t ",
+                "", None, "   ",
+                " ".join(f"w{i}" for i in range(100)),
+            ],
+        })
+        word_re = re.compile(r"[^\t\n\f\r ]+")
+        for ct, ov in [(5, 2), (3, 0), (32, 8)]:
+            out = (chunk_documents(
+                       ray.data.from_pandas(docs).repartition(3),
+                       chunk_tokens=ct, overlap=ov)
+                   .to_pandas().sort_values(["doc_id", "chunk_id"])
+                   .reset_index(drop=True))
+            ref = []
+            for did, tx in zip(docs["doc_id"], docs["text"]):
+                if tx is None:
+                    continue
+                toks = word_re.findall(tx)
+                for ci, s in enumerate(range(0, len(toks), ct - ov)):
+                    e = min(s + ct, len(toks))
+                    ref.append((did, ci, e - s, " ".join(toks[s:e])))
+            got = list(zip(out["doc_id"], out["chunk_id"],
+                           out["n_chunk_tokens"], out["chunk_text"]))
+            assert got == ref, (ct, ov)
+
     def test_preserve_whitespace_raw_spans(self):
         from plugin_debezium_ray.functions.packing import chunk_documents
 
