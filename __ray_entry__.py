@@ -1273,6 +1273,19 @@ def q_quantiles_by_group(sf_dir: str):
     )
 
 
+def q_quantiles_distributed(sf_dir: str):
+    """Per-USER p50/p95 — the high-cardinality grouped-quantile form
+    whose result stays a distributed Dataset (one (user, q, value) row
+    per group×q; a million-user `by` never folds on the driver)."""
+    from plugin_debezium_ray.functions.quantiles import grouped_quantiles_ds
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "value"],
+    )
+    return grouped_quantiles_ds(ds, "value", [0.5, 0.95], by="user_id")
+
+
 def q_agg_event_stats(sf_dir: str):
     """§2.6 aggregations: grouped count + sum over the event stream."""
     from ray.data.aggregate import Count, Sum
@@ -1405,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     there."""
     return {
         # --- never/stale driver verification: evaluate first
+        "quantiles_distributed": q_quantiles_distributed,
         "cdc_incremental_mv": q_cdc_incremental_mv,
         "agg_event_stats": q_agg_event_stats,
         "agg_approx_distinct": q_agg_approx_distinct,
@@ -1456,10 +1470,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (no SQL-expressible oracle), inside the window
         "cdc_six_ops": q_cdc_six_ops,
         "dedup_semantic": q_dedup_semantic,
+        # --- rows-only tail beyond the ~50-entry driver window: all
+        # have a round-4 driver row AND golden-file pytest pins (the
+        # recall curve is additionally bounded by a recall>=0.9 pytest)
         "ann_ivf_approx": q_ann_ivf_approx,
         "dedup_minhash": q_dedup_minhash,
-        # --- rows-only tail beyond the ~50-entry driver window: all
-        # have a round-4 driver row AND golden-file pytest pins
         "dedup_minhash_quality": q_dedup_minhash_quality,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1898,6 +1913,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.9,
                    quantile_disc(l_extendedprice, 0.9)
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "quantiles_distributed": """
+            WITH nn AS (SELECT user_id, value FROM events
+                        WHERE value IS NOT NULL)
+            SELECT user_id, 0.5 AS q,
+                   quantile_disc(value, 0.5) AS value
+            FROM nn GROUP BY user_id
+            UNION ALL
+            SELECT user_id, 0.95, quantile_disc(value, 0.95)
+            FROM nn GROUP BY user_id
         """,
         "agg_event_stats": """
             SELECT event_type, count(*) AS n,

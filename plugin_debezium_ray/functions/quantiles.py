@@ -145,8 +145,8 @@ def exact_quantiles(
     which also means ``by`` must be a ROLLUP key, not an id: the driver
     folds one span list per group.  ``max_groups`` guards that contract
     (same raise-don't-OOM style as ``broadcast_join``'s
-    ``small_max_rows``); for million-group keys compute per-group
-    quantiles distributed instead (``groupby(by).map_groups``)."""
+    ``small_max_rows``); for million-group keys use
+    ``grouped_quantiles_ds``, whose result stays a Dataset."""
     bad_q = [q for q in qs if not 0.0 <= q <= 1.0]
     if bad_q:
         # a q > 1 would otherwise walk past every group's span and
@@ -208,8 +208,8 @@ def exact_quantiles(
                         f"exact_quantiles(by={by!r}) exceeded max_groups="
                         f"{max_groups}: the driver fold is O(groups) and "
                         "`by` must be a rollup key — raise max_groups "
-                        "deliberately or compute per-group quantiles "
-                        "distributed via groupby().map_groups"
+                        "deliberately or use grouped_quantiles_ds, "
+                        "whose result stays a distributed Dataset"
                     )
                 spans[g] = []
                 order.append(g)
@@ -246,3 +246,94 @@ def exact_quantiles(
     ]
     out_cols = ([by] if by is not None else []) + ["q", "value"]
     return pd.DataFrame(rows, columns=out_cols)
+
+
+def grouped_quantiles_ds(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: "list[float]",
+    *,
+    by: str,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Exact per-group ``quantile_disc`` for HIGH-CARDINALITY ``by`` —
+    the distributed complement of ``exact_quantiles(by=...)``: the
+    result stays a Dataset of ``(by, q, value)`` rows (O(groups×qs) of
+    them), so a million-user "p50/p95 per user" never folds a
+    million-entry dict on the driver (the raise in ``exact_quantiles``'
+    ``max_groups`` guard points here).
+
+    Shape: ONE coarse hash-partition groupby on ``group_key_hash64(by)
+    % num_partitions`` (the same block-stable hash the other grouped
+    ops use — a collision only co-locates groups); within a partition,
+    one Arrow sort by ``(by, col)`` then fully vectorized run detection
+    + rank arithmetic (exact-Fraction ceil, DuckDB parity like
+    ``_rank``) picks every group's answers in one ``take``.
+    Partitioning assumption: one hash partition of (key, value) PAIRS
+    must fit a task — raise ``num_partitions`` with the corpus.  Null
+    ``col`` values are ignored (SQL aggregate semantics; all-null
+    groups are absent); null and float-NaN ``by`` keys each form their
+    own group."""
+    from plugin_debezium_ray.functions.selection import group_key_hash64
+
+    bad_q = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad_q:
+        raise ValueError(f"quantiles must be in [0, 1]: {bad_q}")
+    # exact-decimal rank arithmetic, vectorizable: rank(q, n) =
+    # max(1, ceil(a·n / b)) with q = a/b exactly
+    fracs = [Fraction(str(q)) for q in qs]
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select([by, col]).filter(pc.is_valid(t[col]))
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], pa.int32()))
+        h = group_key_hash64(t[by])
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t  # Ray sort can emit schema-less empty blocks
+        order = pc.sort_indices(
+            pa.table({"_g": t[by], "_v": t[col]}),
+            sort_keys=[("_g", "ascending"), ("_v", "ascending")],
+            null_placement="at_end",
+        )
+        t = t.take(order)
+        gc = t[by]
+        arr = gc.chunk(0) if gc.num_chunks == 1 else gc.combine_chunks()
+        denc = arr.dictionary_encode()  # NaNs share one slot; nulls -> null
+        raw = denc.indices.to_numpy(zero_copy_only=False)
+        if raw.dtype.kind == "f":  # null keys surface as NaN indices
+            codes = np.where(
+                np.isnan(raw), np.int64(len(denc.dictionary)), raw
+            ).astype(np.int64)
+        else:
+            codes = raw.astype(np.int64, copy=False)
+        n = len(codes)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        pos_parts = []
+        q_parts = []
+        for q, f in zip(qs, fracs):
+            a, b = f.numerator, f.denominator
+            ranks = np.maximum(1, -((-a * counts) // b))  # ceil(a·n/b)
+            pos_parts.append(starts + ranks - 1)
+            q_parts.append(np.full(len(starts), q, dtype=np.float64))
+        # one take for keys, one for values, all qs at once
+        key_idx = np.tile(starts, len(qs))
+        val_idx = np.concatenate(pos_parts)
+        return pa.table({
+            by: pc.take(arr, pa.array(key_idx)),
+            "q": pa.array(np.concatenate(q_parts)),
+            "value": pc.take(t[col].combine_chunks(), pa.array(val_idx)),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -2416,3 +2416,92 @@ class TestGroupKeyHash:
         a = group_key_hash64(pa.array([True, False, None]))
         b = group_key_hash64(pa.array([True, False, True]))
         assert a[0] == b[0] and a[1] == b[1]
+
+
+class TestGroupedQuantilesDs:
+    """Distributed per-group quantiles (result stays a Dataset)."""
+
+    def test_matches_duckdb_per_group(self):
+        import duckdb
+
+        from plugin_debezium_ray.functions.quantiles import (
+            grouped_quantiles_ds,
+        )
+
+        rng = np.random.default_rng(17)
+        n = 4000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 37, n),
+            "x": rng.integers(-1000, 1000, n).astype("float64"),
+        })
+        df.loc[::97, "x"] = None  # null values ignored
+        out = (grouped_quantiles_ds(
+                   ray.data.from_pandas(df).repartition(7),
+                   "x", [0.5, 0.95, 0.28], by="g")
+               .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        ref = con.execute("""
+            WITH nn AS (SELECT * FROM t WHERE x IS NOT NULL)
+            SELECT * FROM (
+              SELECT g, 0.28 AS q, quantile_disc(x, 0.28) AS value
+              FROM nn GROUP BY g
+              UNION ALL
+              SELECT g, 0.5, quantile_disc(x, 0.5) FROM nn GROUP BY g
+              UNION ALL
+              SELECT g, 0.95, quantile_disc(x, 0.95) FROM nn GROUP BY g
+            ) ORDER BY g, q
+        """).df()
+        assert len(out) == len(ref)
+        assert np.array_equal(out["g"], ref["g"])
+        assert np.allclose(out["q"], ref["q"])
+        assert np.array_equal(out["value"], ref["value"])
+
+    def test_string_groups_and_null_nan_keys(self):
+        from plugin_debezium_ray.functions.quantiles import (
+            exact_quantiles,
+            grouped_quantiles_ds,
+        )
+
+        df = pd.DataFrame({
+            "g": ["a", "a", "b", None, None, "a"],
+            "x": [3, 1, 9, 5, 7, 2],
+        })
+        out = (grouped_quantiles_ds(
+                   ray.data.from_pandas(df).repartition(3), "x", [0.5],
+                   by="g")
+               .to_pandas())
+        got = {(r["g"] if isinstance(r["g"], str) else None): r["value"]
+               for _, r in out.iterrows()}
+        assert got == {"a": 2, "b": 9, None: 5}
+        # parity with the driver-side form on the same input
+        drv = exact_quantiles(
+            ray.data.from_pandas(df), "x", [0.5], by="g")
+        want = {(g if isinstance(g, str) else None): v
+                for g, v in zip(drv["g"], drv["value"])}
+        assert got == want
+
+    def test_partitioning_invariance_and_empty(self):
+        from plugin_debezium_ray.functions.quantiles import (
+            grouped_quantiles_ds,
+        )
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "g": rng.integers(0, 9, 500),
+            "x": rng.normal(size=500),
+        })
+        a = (grouped_quantiles_ds(ray.data.from_pandas(df).repartition(2),
+                                  "x", [0.5, 0.9], by="g", num_partitions=4)
+             .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
+        b = (grouped_quantiles_ds(ray.data.from_pandas(df).repartition(11),
+                                  "x", [0.5, 0.9], by="g", num_partitions=32)
+             .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
+        assert a.equals(b)
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"g": pd.Series([], dtype="int64"),
+                          "x": pd.Series([], dtype="float64")}))
+        assert grouped_quantiles_ds(empty, "x", [0.5], by="g").count() == 0
+        import pytest as _pt
+        with _pt.raises(ValueError, match="quantiles"):
+            grouped_quantiles_ds(empty, "x", [1.5], by="g")
