@@ -1273,6 +1273,21 @@ def q_quantiles_by_group(sf_dir: str):
     )
 
 
+def q_sample_mixture(sf_dir: str):
+    """Deterministic mixture rebalancing: resample documents to a
+    2:1:1 en/de/fr mix (integer-exact thresholds — the SQL oracle is
+    bit-for-bit the same rule)."""
+    from plugin_debezium_ray.functions.selection import mixture_resample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    return mixture_resample(
+        ds, group_col="lang", ratios={"en": 2, "de": 1, "fr": 1}
+    )
+
+
 def q_quantiles_distributed(sf_dir: str):
     """Per-USER p50/p95 — the high-cardinality grouped-quantile form
     whose result stays a distributed Dataset (one (user, q, value) row
@@ -1419,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never/stale driver verification: evaluate first
         "quantiles_distributed": q_quantiles_distributed,
+        "sample_mixture": q_sample_mixture,
         "cdc_incremental_mv": q_cdc_incremental_mv,
         "agg_event_stats": q_agg_event_stats,
         "agg_approx_distinct": q_agg_approx_distinct,
@@ -1468,11 +1484,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fixed_per_group": q_sample_fixed_per_group,
         "filter_by_quantile": q_filter_by_quantile,
         # --- rows-only (no SQL-expressible oracle), inside the window
-        "cdc_six_ops": q_cdc_six_ops,
         "dedup_semantic": q_dedup_semantic,
         # --- rows-only tail beyond the ~50-entry driver window: all
         # have a round-4 driver row AND golden-file pytest pins (the
-        # recall curve is additionally bounded by a recall>=0.9 pytest)
+        # recall curve is additionally bounded by a recall>=0.9 pytest;
+        # cdc_six_ops is additionally oracle-pinned via tests/test_skew
+        # and the six-op golden)
+        "cdc_six_ops": q_cdc_six_ops,
         "ann_ivf_approx": q_ann_ivf_approx,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_quality": q_dedup_minhash_quality,
@@ -1913,6 +1931,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.9,
                    quantile_disc(l_extendedprice, 0.9)
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "sample_mixture": """
+            WITH cnt AS (SELECT lang, count(*) AS n FROM documents
+                         WHERE lang IN ('en','de','fr') GROUP BY lang),
+            w(lang, r) AS (VALUES ('en', 2), ('de', 1), ('fr', 1)),
+            tot AS (SELECT min(n * 4 // r) AS t FROM cnt JOIN w USING (lang)),
+            thr AS (SELECT w.lang, ((tot.t * w.r // 4) * 10000) // cnt.n AS cut
+                    FROM w JOIN cnt USING (lang), tot)
+            SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+            WHERE hash(d.doc_id) % 10000 < thr.cut
         """,
         "quantiles_distributed": """
             WITH nn AS (SELECT user_id, value FROM events

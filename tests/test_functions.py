@@ -2505,3 +2505,69 @@ class TestGroupedQuantilesDs:
         import pytest as _pt
         with _pt.raises(ValueError, match="quantiles"):
             grouped_quantiles_ds(empty, "x", [1.5], by="g")
+
+
+class TestMixtureResample:
+    def test_matches_sql_and_proportions(self):
+        import duckdb
+
+        from plugin_debezium_ray.functions.selection import mixture_resample
+
+        rng = np.random.default_rng(21)
+        n = 30_000
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(
+                ["en", "de", "fr", "xx"], n, p=[0.7, 0.15, 0.1, 0.05]),
+        })
+        out = mixture_resample(
+            ray.data.from_pandas(df).repartition(8),
+            group_col="lang", ratios={"en": 2, "de": 1, "fr": 1},
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("d", df)
+        ref = con.execute("""
+            WITH cnt AS (SELECT lang, count(*) AS n FROM d
+                         WHERE lang IN ('en','de','fr') GROUP BY lang),
+            w(lang, r) AS (VALUES ('en', 2), ('de', 1), ('fr', 1)),
+            tot AS (SELECT min(n * 4 // r) AS t FROM cnt JOIN w USING (lang)),
+            thr AS (SELECT w.lang, ((tot.t * w.r // 4) * 10000) // cnt.n AS cut
+                    FROM w JOIN cnt USING (lang), tot)
+            SELECT d.doc_id, d.lang FROM d JOIN thr USING (lang)
+            WHERE hash(d.doc_id) % 10000 < thr.cut
+        """).df()
+        assert sorted(out["doc_id"]) == sorted(ref["doc_id"])
+        # proportions approach 2:1:1 (within hash-quantization noise)
+        g = out.groupby("lang")["doc_id"].count()
+        assert "xx" not in g.index  # unlisted group dropped
+        assert abs(g["en"] / g["de"] - 2.0) < 0.15
+        assert abs(g["fr"] / g["de"] - 1.0) < 0.15
+        # never upsamples: each group bounded by its input count
+        src = df.groupby("lang")["doc_id"].count()
+        assert all(g[k] <= src[k] for k in g.index)
+
+    def test_stability_and_validation(self):
+        import pytest as _pt
+
+        from plugin_debezium_ray.functions.selection import mixture_resample
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "lang": ["en" if i % 3 else "de" for i in range(1000)],
+        })
+        a = mixture_resample(ray.data.from_pandas(df).repartition(2),
+                             group_col="lang", ratios={"en": 1, "de": 1}
+                             ).to_pandas()
+        b = mixture_resample(ray.data.from_pandas(df).repartition(9),
+                             group_col="lang", ratios={"en": 1, "de": 1}
+                             ).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # rerun-stable
+        with _pt.raises(ValueError, match="positive integers"):
+            mixture_resample(ray.data.from_pandas(df), group_col="lang",
+                             ratios={"en": 0.5})
+        with _pt.raises(ValueError, match="absent"):
+            mixture_resample(ray.data.from_pandas(df), group_col="lang",
+                             ratios={"en": 1, "zz": 1})
+        with _pt.raises(ValueError, match="non-empty"):
+            mixture_resample(ray.data.from_pandas(df), group_col="lang",
+                             ratios={})
