@@ -1527,19 +1527,18 @@ def semantic_dedup(
     cents = cents / np.maximum(norms, 1e-12)
     cref = _ray.put(cents.astype(np.float32))
 
-    class Assign:
-        def __init__(self, cref):
-            self.c = _ray.get(cref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t.append_column("_cluster", pa.array([], pa.int32()))
-            m = _vectors_of(t[vec_col], np.float32)
-            # _vectors_of can hand back a read-only Arrow view — divide
-            # out of place
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            c = np.argmax(m @ self.c.T, axis=1).astype(np.int32)
-            return t.append_column("_cluster", pa.array(c))
+    def assign(t: pa.Table) -> pa.Table:
+        # stateless task: ray.get of the centroid matrix is a zero-copy
+        # plasma mmap per task — no actor-pool spin-up (~1 s/pool)
+        if t.num_rows == 0:
+            return t.append_column("_cluster", pa.array([], pa.int32()))
+        cents_m = _ray.get(cref)
+        m = _vectors_of(t[vec_col], np.float32)
+        # _vectors_of can hand back a read-only Arrow view — divide
+        # out of place
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        c = np.argmax(m @ cents_m.T, axis=1).astype(np.int32)
+        return t.append_column("_cluster", pa.array(c))
 
     def prune(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1567,12 +1566,7 @@ def semantic_dedup(
         return t.filter(pa.array(keep)).drop_columns(["_cluster"])
 
     return (
-        ds.map_batches(
-            Assign,
-            fn_constructor_kwargs={"cref": cref},
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
+        ds.map_batches(assign, batch_format="pyarrow")
         .groupby("_cluster")
         .map_groups(prune, batch_format="pyarrow")
     )

