@@ -242,17 +242,27 @@ def q_cdc_six_ops(sf_dir: str):
 def q_dedup_exact(sf_dir: str):
     from plugin_debezium_ray.functions.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    kept = exact_dedup(ds, id_col="doc_id", text_col="text")
+    # prune at the read AND before the shuffle: text is hashed in the
+    # map stage and never rides the groupby exchange
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+    kept = exact_dedup(ds, id_col="doc_id", text_col="text",
+                       keep_cols=["doc_id", "lang", "n_chars"])
     return kept.select_columns(["doc_id", "lang", "n_chars"])
 
 
 def q_dedup_exact_normalized(sf_dir: str):
     from plugin_debezium_ray.functions.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
     return exact_dedup(ds, id_col="doc_id", text_col="text",
-                       normalize=True).select_columns(["doc_id"])
+                       normalize=True,
+                       keep_cols=["doc_id"]).select_columns(["doc_id"])
 
 
 def q_text_token_count(sf_dir: str):

@@ -76,6 +76,7 @@ def exact_dedup(
     text_col: str = "text",
     normalize: bool = False,
     num_partitions: int = 64,
+    keep_cols: "list[str] | None" = None,
 ) -> "ray.data.Dataset":
     """Keep the min-id representative per distinct content.
 
@@ -84,10 +85,16 @@ def exact_dedup(
     partition.  One shuffle, no per-document groups (group count =
     ``num_partitions``, each holding |corpus|/P rows — the scale-safe
     replacement for the one-pandas-frame-per-distinct-hash idiom).
-    Returns the surviving rows (original columns)."""
+    Returns the surviving rows (original columns — or only
+    ``keep_cols`` when given: pass it whenever the caller doesn't need
+    the text back, so the corpus BYTES never ride the shuffle — only
+    the 128-bit hashes and the kept columns do.  At 100 TB that is the
+    difference between shuffling hashes and shuffling the corpus)."""
 
     def hashed(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, text_col=text_col, normalize=normalize)
+        if keep_cols is not None:
+            t = t.select(list(keep_cols) + ["_h0", "_h1"])
         part = (t["_h0"].to_numpy() % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("_part", pa.array(part))
 
