@@ -77,6 +77,18 @@ def _bucket_partial(path: str, group_col: str, sum_col: "str | None",
             )
         aggs += [(sum_col, "sum"), (sum_col, "count")]
     if minmax_col:
+        mtyp = t[minmax_col].type
+        if pa.types.is_decimal(mtyp):
+            # decimal min/max degrade to strings in the JSON cache and
+            # the cross-bucket fold would compare them LEXICOGRAPHICALLY
+            # ("12" < "9") — refuse rather than silently mis-fold.
+            # (ints/floats stay typed; date/timestamp degrade to ISO
+            # strings, whose lexicographic order IS chronological.)
+            raise TypeError(
+                f"minmax_col must not be decimal (got {mtyp}) — exact "
+                "decimal aggregation belongs in a full query, not the "
+                "JSON-cached MV fold"
+            )
         aggs += [(minmax_col, "min"), (minmax_col, "max")]
     agg = t.group_by([group_col]).aggregate(aggs)
     out = []

@@ -201,3 +201,23 @@ def test_mv_minmax_string_and_null_groups(tmp_path):
     part = ray.get(_bucket_partial.remote(p, "g", None, "s"))
     got = {e[0]: tuple(e[1:]) for e in part}
     assert got == {1: (2, "alpha", "beta"), 2: (1, None, None)}
+
+
+def test_mv_minmax_decimal_guard(tmp_path):
+    """Decimal min/max would fold lexicographically through the JSON
+    cache ("12" < "9") — must refuse loudly, like the sum guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray
+
+    from plugin_debezium_ray.pipelines.mv import _bucket_partial
+
+    t = pa.table({
+        "g": pa.array([1, 1], pa.int64()),
+        "d": pa.array([None, None], pa.decimal128(10, 2)),
+    })
+    p = str(tmp_path / "b.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(TypeError, match="decimal"):
+        ray.get(_bucket_partial.remote(p, "g", None, "d"))
