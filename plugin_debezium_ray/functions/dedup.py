@@ -91,6 +91,14 @@ def exact_dedup(
     the 128-bit hashes and the kept columns do.  At 100 TB that is the
     difference between shuffling hashes and shuffling the corpus)."""
 
+    if keep_cols is not None and id_col not in keep_cols:
+        # fail fast: the winner pick needs id_col; omitting it would
+        # otherwise surface as an opaque KeyError inside a Ray task
+        # after the full hash + shuffle already ran
+        raise ValueError(
+            f"keep_cols must include id_col {id_col!r}, got {keep_cols}"
+        )
+
     def hashed(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, text_col=text_col, normalize=normalize)
         if keep_cols is not None:

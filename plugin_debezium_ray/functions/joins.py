@@ -135,11 +135,17 @@ def _valid_key_mask(t: pa.Table, cols) -> "pa.ChunkedArray":
 # reuses worker processes across tasks, so after the first task per
 # worker this is actor-pool state WITHOUT an actor pool — measured ~1 s
 # pool spin-up per query avoided (the same reason broadcast_join uses
-# stateless tasks; asof_join at sf0.1 dropped 4.2 → 2.5 s end-to-end).
-# Keyed by (ref.hex(), params); bounded — a worker that sees a 9th
-# distinct broadcast drops the cache and rebuilds (builds are cheap by
-# the small-side contract).
+# stateless tasks; asof_join at sf0.1 dropped 4.2 → 1.6 s end-to-end).
+# Keyed by (cls, ref.hex(), params).  Memory contract: the cache is
+# FIFO-bounded to 2 entries per worker (two concurrently-running
+# broadcast joins share workers without thrashing; a third evicts the
+# oldest), and the probes' Arrow payload columns are zero-copy views
+# into the plasma broadcast wherever single-chunk (the common ray.get
+# layout), so the retained private heap per entry is roughly the sorted
+# key frame — not the whole right side.  Rebuilds after eviction are
+# cheap by the small-side contract.
 _PROBE_CACHE: dict = {}
+_PROBE_CACHE_MAX = 2
 
 
 def _cached_probe(t: pa.Table, *, cls, small_ref, params: tuple,
@@ -147,11 +153,19 @@ def _cached_probe(t: pa.Table, *, cls, small_ref, params: tuple,
     key = (cls.__name__, small_ref.hex(), params)
     probe = _PROBE_CACHE.get(key)
     if probe is None:
-        if len(_PROBE_CACHE) >= 8:
-            _PROBE_CACHE.clear()
+        while len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))  # FIFO evict
         probe = cls(small_ref, **kwargs)
         _PROBE_CACHE[key] = probe
     return probe(t)
+
+
+def _view_chunks(ca: "pa.ChunkedArray") -> pa.Array:
+    """One contiguous Array from a column WITHOUT copying when it is
+    already single-chunk (``combine_chunks()`` copies even then — r3
+    measured note) — keeps cached probe payloads as views into the
+    plasma broadcast instead of private heap copies."""
+    return ca.chunk(0) if ca.num_chunks == 1 else ca.combine_chunks()
 
 
 class _AsofProbe:
@@ -168,7 +182,10 @@ class _AsofProbe:
                  direction: str, allow_exact_matches: bool):
         right = ray.get(small_ref)  # zero-copy plasma mmap
         keep = _valid_key_mask(right, [on] + ([by] if by else []))
-        right = right.filter(keep)  # null/NaN right keys never match
+        if keep.null_count or not pc.all(keep).as_py():
+            # filter COPIES — skip when it would be a no-op, so the
+            # cached payload views below stay zero-copy into plasma
+            right = right.filter(keep)  # null/NaN right keys never match
         self.on = on
         self.by = by
         self.direction = direction
@@ -177,7 +194,7 @@ class _AsofProbe:
             c for c in right.column_names if c != on and c != by
         ]
         self.right_cols = {
-            c: right[c].combine_chunks() for c in self.payload
+            c: _view_chunks(right[c]) for c in self.payload
         }
         rdf = pd.DataFrame({on: right[on].to_pandas()})
         if by is not None:
@@ -313,14 +330,17 @@ class _IntervalProbe:
             # null AND float-NaN keys never match (same join-key
             # semantics as the asof joins' _valid_key_mask)
             keep = pc.and_(keep, _valid_key_mask(right, [by]))
-        right = right.filter(keep)
+        if keep.null_count or not pc.all(keep).as_py():
+            # (null keep entries — null bounds — drop on filter, so the
+            # no-op skip requires a fully non-null all-true mask)
+            right = right.filter(keep)
         self.on = on
         self.by = by
         self.start = right[start_col].to_numpy(zero_copy_only=False)
         self.end = right[end_col].to_numpy(zero_copy_only=False)
         drop = {start_col, end_col} | ({by} if by else set())
         self.payload = {
-            c: right[c].combine_chunks()
+            c: _view_chunks(right[c])
             for c in right.column_names if c not in drop
         }
         if by is not None:

@@ -283,6 +283,38 @@ def grouped_quantiles_ds(
     # max(1, ceil(a·n / b)) with q = a/b exactly
     fracs = [Fraction(str(q)) for q in qs]
 
+    # output types for empty blocks, WITHOUT executing the plan (a lazy
+    # schema() fetch re-runs the upstream — smallfetch.py): static for
+    # file reads / in-memory tables, None for opaque lazy upstreams
+    def _as_arrow_type(tp):
+        # pandas-block Datasets report numpy dtypes here, not Arrow types
+        if isinstance(tp, pa.DataType):
+            return tp
+        try:
+            return pa.from_numpy_dtype(tp)
+        except (TypeError, NotImplementedError, pa.ArrowNotImplementedError):
+            return None  # e.g. object dtype — no static seed then
+
+    try:
+        _sch = ds.schema(fetch_if_missing=False)
+    except TypeError:
+        _sch = None
+    if _sch is None:
+        try:
+            # a SOURCE-ONLY plan (from_pandas/from_arrow/read with no
+            # transforms) has nothing upstream to re-execute — fetching
+            # its schema is safe and returns proper Arrow types
+            if not ds._plan._logical_plan.dag.input_dependencies:
+                _sch = ds.schema()
+        except Exception:  # noqa: BLE001 — internals moved: no seed
+            _sch = None
+    static_types = None
+    if _sch is not None and by in _sch.names and col in _sch.names:
+        bt = _as_arrow_type(_sch.types[_sch.names.index(by)])
+        vt = _as_arrow_type(_sch.types[_sch.names.index(col)])
+        if bt is not None and vt is not None:
+            static_types = (bt, vt)
+
     def prep(t: pa.Table) -> pa.Table:
         t = t.select([by, col]).filter(pc.is_valid(t[col]))
         if t.num_rows == 0:
@@ -291,9 +323,24 @@ def grouped_quantiles_ds(
         part = (h % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("_part", pa.array(part))
 
+    def empty_out(by_type, val_type) -> pa.Table:
+        return pa.table({
+            by: pa.array([], type=by_type),
+            "q": pa.array([], type=pa.float64()),
+            "value": pa.array([], type=val_type),
+        })
+
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t  # Ray sort can emit schema-less empty blocks
+            # keep the (by, q, value) OUTPUT schema even for empty
+            # blocks — returning the input block leaks the input schema
+            # (or no schema at all: Ray sort emits schema-less empties)
+            # and an all-filtered run would yield a zero-column Dataset
+            if by in t.column_names and col in t.column_names:
+                return empty_out(t[by].type, t[col].type)
+            if static_types is not None:
+                return empty_out(*static_types)
+            return t  # schema-less AND lazy upstream: can't type it
         order = pc.sort_indices(
             pa.table({"_g": t[by], "_v": t[col]}),
             sort_keys=[("_g", "ascending"), ("_v", "ascending")],
@@ -332,8 +379,15 @@ def grouped_quantiles_ds(
             "value": pc.take(t[col].combine_chunks(), pa.array(val_idx)),
         })
 
-    return (
+    out = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(finish, batch_format="pyarrow")
     )
+    if static_types is not None:
+        # schema seed: an EMPTY grouped result has zero blocks (finish
+        # never runs), which would surface as a zero-column Dataset —
+        # union one typed empty block so the (by, q, value) contract
+        # holds even when every group is filtered away
+        out = out.union(ray.data.from_arrow(empty_out(*static_types)))
+    return out

@@ -2571,3 +2571,55 @@ class TestMixtureResample:
         with _pt.raises(ValueError, match="non-empty"):
             mixture_resample(ray.data.from_pandas(df), group_col="lang",
                              ratios={})
+
+
+class TestRound5ReviewRegressions:
+    """Pins for the round-5 self-review findings."""
+
+    def test_grouped_quantiles_empty_keeps_output_schema(self):
+        # the union-seeded (by, q, value) schema must survive an empty
+        # result: Dataset.schema() typed, select_columns validates.
+        # (`to_pandas()` of ANY 0-row Dataset drops columns in Ray 2.49
+        # — a framework-wide quirk, pure typed Arrow sources included —
+        # so the contract is pinned at the Dataset level.)
+        from plugin_debezium_ray.functions.quantiles import (
+            grouped_quantiles_ds,
+        )
+
+        empty = ray.data.from_pandas(pd.DataFrame({
+            "g": pd.Series([], dtype="int64"),
+            "x": pd.Series([], dtype="float64"),
+        }))
+        out = grouped_quantiles_ds(empty, "x", [0.5], by="g")
+        sch = out.schema()
+        assert sch is not None and list(sch.names) == ["g", "q", "value"]
+        assert out.select_columns(["value"]).count() == 0
+        # all values null → groups absent, but schema intact
+        allnull = ray.data.from_pandas(pd.DataFrame({
+            "g": [1, 2], "x": [None, None],
+        }).astype({"x": "float64"}))
+        out2 = grouped_quantiles_ds(allnull, "x", [0.5], by="g")
+        sch2 = out2.schema()
+        assert sch2 is not None and list(sch2.names) == ["g", "q", "value"]
+        assert out2.count() == 0
+
+    def test_exact_dedup_keep_cols_requires_id(self):
+        from plugin_debezium_ray.functions.dedup import exact_dedup
+
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": [1], "text": ["x"], "lang": ["en"],
+        }))
+        with pytest.raises(ValueError, match="keep_cols"):
+            exact_dedup(ds, id_col="doc_id", text_col="text",
+                        keep_cols=["lang"])
+
+    def test_probe_cache_fifo_bound(self):
+        from plugin_debezium_ray.functions import joins
+
+        joins._PROBE_CACHE.clear()
+        for i in range(5):
+            joins._PROBE_CACHE[("c", str(i), ())] = object()
+            while len(joins._PROBE_CACHE) > joins._PROBE_CACHE_MAX:
+                joins._PROBE_CACHE.pop(next(iter(joins._PROBE_CACHE)))
+        assert len(joins._PROBE_CACHE) <= joins._PROBE_CACHE_MAX
+        joins._PROBE_CACHE.clear()
