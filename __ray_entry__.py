@@ -1412,6 +1412,52 @@ def q_window_sessions(sf_dir: str):
     return out
 
 
+def q_cdc_scd2(sf_dir: str):
+    """SCD2 history materialization of the event change log: one
+    version row per (user, event) valid over [event_id, next event_id),
+    deletes (event_type='error', the stream's tombstone band) closing
+    their predecessor without reopening — the row-versioned complement
+    of the LWW apply (reference consumers build exactly this downstream
+    of the raw stream)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plugin_debezium_ray.functions.history import scd2_history
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def mark(t: "pa.Table") -> "pa.Table":
+        d = pc.fill_null(pc.equal(t["event_type"], "error"), False)
+        return t.drop_columns(["event_type"]).append_column("deleted", d)
+
+    return scd2_history(
+        ev.map_batches(mark, batch_format="pyarrow"),
+        key_cols="user_id", order_col="event_id", deleted_col="deleted",
+        num_partitions=64,
+    )
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus-wide top-25 terms by total occurrences: per-batch
+    (doc, term, tf) partials → per-block Arrow group_by pre-reduce →
+    ONE term groupby → small sort+limit.  The Misra-Gries sketch lane
+    (bounded state, candidates + exact recount) is pytest-pinned in
+    tests/test_history.py."""
+    from plugin_debezium_ray.functions.sketches import heavy_hitters
+    from plugin_debezium_ray.functions.text import doc_term_counts_batch
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    terms = docs.map_batches(doc_term_counts_batch, batch_format="pyarrow")
+    return heavy_hitters(terms, "term", k=25, weight_col="tf",
+                         count_col="n")
+
+
 _ANN_ORACLE_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qv
                FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -1443,11 +1489,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     there."""
     return {
         # --- never/stale driver verification: evaluate first
+        "cdc_scd2": q_cdc_scd2,
+        "heavy_hitters": q_heavy_hitters,
         "quantiles_distributed": q_quantiles_distributed,
         "sample_mixture": q_sample_mixture,
         "cdc_incremental_mv": q_cdc_incremental_mv,
         "agg_event_stats": q_agg_event_stats,
-        "agg_approx_distinct": q_agg_approx_distinct,
         "ann_quantize": q_ann_quantize,
         "cdc_multi_table": q_cdc_multi_table,
         "window_tumbling": q_window_tumbling,
@@ -1493,13 +1540,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_group": q_quantiles_by_group,
         "sample_fixed_per_group": q_sample_fixed_per_group,
         "filter_by_quantile": q_filter_by_quantile,
-        # --- rows-only (no SQL-expressible oracle), inside the window
-        "dedup_semantic": q_dedup_semantic,
         # --- rows-only tail beyond the ~50-entry driver window: all
-        # have a round-4 driver row AND golden-file pytest pins (the
+        # have a prior driver row AND golden-file pytest pins (the
         # recall curve is additionally bounded by a recall>=0.9 pytest;
         # cdc_six_ops is additionally oracle-pinned via tests/test_skew
-        # and the six-op golden)
+        # and the six-op golden; agg_approx_distinct is additionally
+        # bounded by an error-band pytest; dedup_semantic is golden-
+        # pinned with an r4 driver row)
+        "dedup_semantic": q_dedup_semantic,
+        "agg_approx_distinct": q_agg_approx_distinct,
         "cdc_six_ops": q_cdc_six_ops,
         "ann_ivf_approx": q_ann_ivf_approx,
         "dedup_minhash": q_dedup_minhash,
@@ -1537,6 +1586,28 @@ _CORPUS_PREP_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cdc_scd2": """
+            WITH o AS (
+              SELECT event_id, user_id, value,
+                     coalesce(event_type = 'error', FALSE) AS deleted,
+                     lead(event_id) OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS valid_to
+              FROM events
+            )
+            SELECT event_id, user_id, value, valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM o WHERE NOT deleted
+        """,
+        "heavy_hitters": """
+            WITH tok AS (
+                SELECT lower(unnest(regexp_split_to_array(trim(text),
+                                                          '\\s+'))) AS term
+                FROM documents
+                WHERE length(trim(text)) > 0
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 25
+        """,
         "cdc_inline_decode": """
             SELECT user_id, event_type, value,
                    (event_type = 'error') AS deleted

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import AggregateFn
@@ -97,3 +98,176 @@ def approx_count_distinct(
         return 0
     regs = out["hll"]
     return int(round(hll_estimate(np.asarray(regs, dtype=np.uint8))))
+
+
+# --------------------------------------------------------- heavy hitters
+
+
+def _block_counts(block, col: str, weight_col: "str | None"):
+    """Vectorized per-block (value, count) pairs; nulls are skipped
+    (SQL ``GROUP BY`` over a stream that never produces null terms —
+    document callers must pre-filter if null is a real key)."""
+    c = block[col]
+    vals = (
+        c.to_numpy(zero_copy_only=False)
+        if isinstance(c, (pa.Array, pa.ChunkedArray))
+        else np.asarray(c)
+    )
+    if weight_col is None:
+        s = pd.Series(vals).value_counts(dropna=True)
+        return s.index.to_numpy(object), s.to_numpy(np.int64)
+    w = block[weight_col]
+    wv = (
+        w.to_numpy(zero_copy_only=False)
+        if isinstance(w, (pa.Array, pa.ChunkedArray))
+        else np.asarray(w)
+    )
+    g = pd.Series(wv).groupby(pd.Series(vals), sort=False).sum()
+    g = g[pd.notna(g.index)]
+    return g.index.to_numpy(object), g.to_numpy(np.int64)
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    k: int = 25,
+    weight_col: "str | None" = None,
+    count_col: str = "n",
+) -> "ray.data.Dataset":
+    """EXACT top-``k`` most frequent values of ``col`` (ties broken by
+    value ascending, mirroring ``ORDER BY n DESC, col``).  Two-level
+    aggregation: per-block Arrow ``group_by`` partials shrink the
+    stream to (value, partial-count) pairs BEFORE the one groupby
+    shuffle — a block never ships more rows than its distinct values —
+    then one small sort+limit over the aggregated counts.  At extreme
+    key cardinality prefer :func:`heavy_hitters_sketch` (bounded state,
+    no full-cardinality shuffle)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tv = t.filter(pc.is_valid(t[col]))
+        if weight_col is None:
+            g = tv.group_by(col).aggregate([([], "count_all")])
+            return g.rename_columns([col, "_pn"])
+        g = tv.group_by(col).aggregate([(weight_col, "sum")])
+        return g.rename_columns([col, "_pn"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .sum("_pn")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.rename_columns([col, count_col])
+
+    return (
+        counts.map_batches(finish, batch_format="pyarrow")
+        .sort([count_col, col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _mg_compress(d: dict, capacity: int) -> int:
+    """Misra-Gries decrement step: shrink ``d`` to ≤ ``capacity``
+    entries by subtracting the (capacity+1)-th largest count from all
+    (and dropping non-positives).  Returns the subtracted delta — the
+    caller accumulates these into the summary's one-sided error bound
+    (every kept count is a LOWER bound, under by ≤ Σdeltas)."""
+    if len(d) <= capacity:
+        return 0
+    counts = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+    cut = int(np.partition(counts, -capacity - 1)[-capacity - 1])
+    for v in [v for v, c in d.items() if c <= cut]:
+        del d[v]
+    for v in d:
+        d[v] -= cut
+    return cut
+
+
+def heavy_hitters_sketch(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    k: int = 25,
+    weight_col: "str | None" = None,
+    count_col: str = "n",
+    capacity: int = 4096,
+):
+    """Approximate-candidates + exact-recount top-``k`` for key spaces
+    too large to shuffle: a mergeable Misra-Gries summary (Agarwal et
+    al. 2012, "Mergeable Summaries") of ≤ ``capacity`` entries folds
+    through Ray's aggregation tree (state per block/merge is O(capacity),
+    NEVER the key cardinality), then ONE second streaming pass exactly
+    recounts only the surviving candidates (broadcast membership
+    filter, no shuffle of non-candidates).  Returns ``(table, info)``:
+    ``table`` has exact counts for the top-``k`` candidates;
+    ``info['max_undercount']`` is the summary's one-sided error bound D
+    (any value absent from the candidates has true count ≤ D) and
+    ``info['exact_guaranteed']`` is True when the k-th exact count
+    exceeds D — the returned top-k is then provably the true top-k."""
+
+    def _acc(state, block):
+        d, delta = state
+        d = dict(d)
+        vals, cnts = _block_counts(block, col, weight_col)
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            d[v] = d.get(v, 0) + c
+        return d, delta + _mg_compress(d, capacity)
+
+    def _merge(a, b):
+        d = dict(a[0])
+        for v, c in b[0].items():
+            d[v] = d.get(v, 0) + c
+        return d, a[1] + b[1] + _mg_compress(d, capacity)
+
+    agg = AggregateFn(
+        init=lambda _: ({}, 0),
+        accumulate_block=_acc,
+        merge=_merge,
+        name="mg",
+    )
+    out = ds.aggregate(agg)
+    if out is None:
+        return (
+            pa.table({col: pa.array([], pa.string()),
+                      count_col: pa.array([], pa.int64())}),
+            {"max_undercount": 0, "exact_guaranteed": True},
+        )
+    cand, max_under = out["mg"]
+    cand_arr = pa.array(list(cand.keys()))
+
+    def recount(t: pa.Table) -> pa.Table:
+        tv = t.filter(
+            pc.fill_null(pc.is_in(t[col], value_set=cand_arr), False)
+        )
+        vals, cnts = _block_counts(tv, col, weight_col)
+        return pa.table({
+            col: pa.array(vals, type=cand_arr.type),
+            "_pn": pa.array(cnts),
+        })
+
+    refs = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby(col)
+        .sum("_pn")
+        .map_batches(
+            lambda t: t.rename_columns([col, count_col]),
+            batch_format="pyarrow",
+        )
+        .sort([count_col, col], descending=[True, False])
+        .limit(k)
+        .materialize()  # to_arrow_refs on a lazy plan re-executes it
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    parts = [t for t in _ray.get(refs) if t.num_rows]
+    tbl = pa.concat_tables(parts) if parts else pa.table({
+        col: cand_arr.slice(0, 0), count_col: pa.array([], pa.int64()),
+    })
+    kth = tbl[count_col][min(k, tbl.num_rows) - 1].as_py() if tbl.num_rows else 0
+    return tbl, {
+        "max_undercount": int(max_under),
+        "exact_guaranteed": bool(kth > max_under),
+    }

@@ -1,0 +1,159 @@
+"""SCD2 history materialization (functions/history.py) and heavy
+hitters (functions/sketches.py) vs brute-force/DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from plugin_debezium_ray.functions.history import scd2_history
+from plugin_debezium_ray.functions.sketches import (
+    heavy_hitters,
+    heavy_hitters_sketch,
+)
+
+
+def _changelog(n=5000, keys=137, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "lsn": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(rng.integers(0, keys, n).astype(np.int64)),
+        "payload": pa.array(rng.integers(0, 10**6, n).astype(np.int64)),
+        "deleted": pa.array(rng.random(n) < 0.15),
+    })
+
+
+def _scd2_oracle(t: pa.Table) -> pd.DataFrame:
+    df = duckdb.sql("""
+        WITH o AS (
+          SELECT *, lead(lsn) OVER (PARTITION BY k ORDER BY lsn)
+                    AS valid_to
+          FROM t
+        )
+        SELECT lsn, k, payload, valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM o WHERE NOT coalesce(deleted, FALSE)
+        ORDER BY k, lsn
+    """).df()
+    return df.reset_index(drop=True)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["k", "lsn"]).reset_index(drop=True)
+
+
+class TestScd2:
+    def test_matches_window_oracle(self, ray_session):
+        t = _changelog()
+        out = scd2_history(
+            ray.data.from_arrow(t).repartition(8),
+            key_cols="k", order_col="lsn", deleted_col="deleted",
+            num_partitions=16,
+        ).to_pandas()
+        exp = _scd2_oracle(t)
+        got = _sorted(out)[["lsn", "k", "payload", "valid_to",
+                            "is_current"]]
+        exp["valid_to"] = exp["valid_to"].astype("float64")
+        got["valid_to"] = got["valid_to"].astype("float64")
+        pd.testing.assert_frame_equal(got, exp.astype(got.dtypes))
+
+    def test_delete_closes_without_reopening(self, ray_session):
+        t = pa.table({
+            "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "payload": pa.array([10, 20, 30, 40], pa.int64()),
+            "deleted": pa.array([False, True, False, False]),
+        })
+        out = _sorted(scd2_history(
+            ray.data.from_arrow(t), key_cols="k", order_col="lsn",
+            deleted_col="deleted", num_partitions=4,
+        ).to_pandas())
+        # row lsn=1 closed by the delete at lsn=2; lsn=3 reopens
+        assert out["lsn"].tolist() == [1, 3, 4]
+        assert out["valid_to"].tolist()[0] == 2
+        assert out["is_current"].tolist() == [False, True, True]
+
+    def test_null_keys_form_one_group(self, ray_session):
+        t = pa.table({
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array([None, None, 5], pa.int64()),
+            "payload": pa.array([1, 2, 3], pa.int64()),
+            "deleted": pa.array([False, False, False]),
+        })
+        out = scd2_history(
+            ray.data.from_arrow(t), key_cols="k", order_col="lsn",
+            deleted_col="deleted", num_partitions=4,
+        ).to_pandas()
+        nullg = out[out["k"].isna()].sort_values("lsn")
+        assert nullg["valid_to"].tolist()[0] == 2.0
+        assert nullg["is_current"].tolist() == [False, True]
+
+    def test_multi_key_and_no_deleted_col(self, ray_session):
+        t = pa.table({
+            "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+            "a": pa.array(["x", "x", "y", "x"]),
+            "b": pa.array([1, 1, 1, 2], pa.int64()),
+        })
+        out = scd2_history(
+            ray.data.from_arrow(t), key_cols=["a", "b"],
+            order_col="lsn", num_partitions=4,
+        ).to_pandas().sort_values("lsn").reset_index(drop=True)
+        assert out["valid_to"].tolist()[0] == 2.0
+        assert out["is_current"].tolist() == [False, True, True, True]
+
+
+class TestHeavyHitters:
+    def _freqs(self, n=20000, seed=3):
+        rng = np.random.default_rng(seed)
+        # zipf-ish: value v appears ~ 1/(v+1)
+        vals = (rng.pareto(1.2, n) * 10).astype(np.int64) % 500
+        return pa.table({"v": pa.array(
+            [f"w{v}" for v in vals], pa.string()
+        )})
+
+    def test_exact_matches_duckdb(self, ray_session):
+        t = self._freqs()
+        got = heavy_hitters(
+            ray.data.from_arrow(t).repartition(8), "v", k=20
+        ).to_pandas()
+        exp = duckdb.sql("""
+            SELECT v, CAST(count(*) AS BIGINT) AS n FROM t
+            GROUP BY v ORDER BY n DESC, v LIMIT 20
+        """).df()
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_sketch_matches_exact_with_guarantee(self, ray_session):
+        t = self._freqs()
+        exact = heavy_hitters(
+            ray.data.from_arrow(t).repartition(8), "v", k=10
+        ).to_pandas()
+        tbl, info = heavy_hitters_sketch(
+            ray.data.from_arrow(t).repartition(8), "v", k=10,
+            capacity=512,
+        )
+        assert info["exact_guaranteed"]
+        pd.testing.assert_frame_equal(tbl.to_pandas(), exact)
+
+    def test_sketch_bound_is_honest_when_tight(self, ray_session):
+        # capacity far below cardinality: the flag must NOT claim
+        # exactness unless the k-th count clears the bound
+        t = self._freqs()
+        tbl, info = heavy_hitters_sketch(
+            ray.data.from_arrow(t).repartition(8), "v", k=10,
+            capacity=16,
+        )
+        kth = tbl["n"][min(10, tbl.num_rows) - 1].as_py()
+        assert info["exact_guaranteed"] == (kth > info["max_undercount"])
+
+    def test_weighted(self, ray_session):
+        t = pa.table({
+            "v": pa.array(["a", "b", "a", "c", None]),
+            "w": pa.array([5, 1, 2, 3, 9], pa.int64()),
+        })
+        got = heavy_hitters(
+            ray.data.from_arrow(t), "v", k=2, weight_col="w"
+        ).to_pandas()
+        assert got["v"].tolist() == ["a", "c"]
+        assert got["n"].tolist() == [7, 3]
