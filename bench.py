@@ -290,6 +290,8 @@ def _suite(sf_dir: str) -> dict[str, float]:
         "quantiles_distributed",
         "sample_mixture",
         "chunk_documents",
+        "cdc_scd2",
+        "heavy_hitters",
     ]
     import ray.data as _rd
 

@@ -391,3 +391,149 @@ def grouped_quantiles_ds(
         # holds even when every group is filtered away
         out = out.union(ray.data.from_arrow(empty_out(*static_types)))
     return out
+
+
+# ----------------------------------------------------- KLL approx sketch
+#
+# The one-pass, no-shuffle complement of exact_quantiles for 100-TB
+# columns: a KLL sketch (Karnin, Lang, Liberty 2016, "Optimal Quantile
+# Approximation in Streams" — public) folds through Ray's aggregation
+# tree.  Per-block state is O(k·log(n/k)) float64s, merges are
+# associative, and only sketches — never rows — leave the workers.
+# Rank error is O(1/k) with high probability; the compaction coin is a
+# deterministic splitmix64 bit so identical inputs reproduce byte-
+# identical sketches (Ray retries and reruns stay stable).
+
+_KLL_C = 2.0 / 3.0
+
+
+def _kll_cap(k: int, depth_from_top: int) -> int:
+    return max(2, int(math.ceil(k * (_KLL_C ** depth_from_top))))
+
+
+def _sm64(x: np.uint64) -> np.uint64:
+    z = (np.uint64(x) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _kll_compress(levels: list, coin: int, k: int):
+    """Compact levels until every one fits its capacity.  Level h keeps
+    every other element of its sorted run (offset = deterministic
+    pseudo-random bit); the survivors promote to level h+1 where each
+    carries twice the weight (weight is implicit in the level index)."""
+    with np.errstate(all="ignore"):
+        while True:
+            H = len(levels)
+            over = None
+            for h in range(H):
+                if len(levels[h]) > _kll_cap(k, H - h - 1):
+                    over = h
+                    break
+            if over is None:
+                return levels, coin
+            arr = np.sort(levels[over])
+            off = int(_sm64(np.uint64(coin)) & np.uint64(1))
+            coin += 1
+            promoted = arr[off::2]
+            levels[over] = np.empty(0, dtype=np.float64)
+            if over + 1 == len(levels):
+                levels.append(promoted)
+            else:
+                levels[over + 1] = np.concatenate(
+                    [levels[over + 1], promoted]
+                )
+
+
+def _kll_add_block(state, values: np.ndarray, k: int):
+    levels, coin, n = state
+    v = values[~np.isnan(values)]
+    if len(v) == 0:
+        return state
+    levels = list(levels)
+    levels[0] = np.concatenate([levels[0], v.astype(np.float64)])
+    levels, coin = _kll_compress(levels, coin, k)
+    return levels, coin, n + len(v)
+
+
+def _kll_merge(a, b, k: int):
+    la, ca, na = a
+    lb, cb, nb = b
+    H = max(len(la), len(lb))
+    levels = []
+    for h in range(H):
+        xs = []
+        if h < len(la):
+            xs.append(la[h])
+        if h < len(lb):
+            xs.append(lb[h])
+        levels.append(
+            np.concatenate(xs) if xs else np.empty(0, dtype=np.float64)
+        )
+    levels, coin = _kll_compress(levels, ca + cb, k)
+    return levels, coin, na + nb
+
+
+def _kll_query(state, qs: "list[float]") -> "list[float]":
+    levels, _, n = state
+    vals = np.concatenate(levels)
+    wts = np.concatenate([
+        np.full(len(lv), 1 << h, dtype=np.int64)
+        for h, lv in enumerate(levels)
+    ])
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        rank = max(1, math.ceil(Fraction(str(q)) * int(total)))
+        out.append(float(vals[np.searchsorted(cum, rank)]))
+    return out
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: "list[float]",
+    *,
+    k: int = 256,
+) -> pd.DataFrame:
+    """Approximate quantiles of ``col`` in ONE streaming pass with NO
+    shuffle: per-block KLL folds merge through Ray's aggregation tree;
+    the driver receives one O(k·log(n/k))-float sketch and reads the
+    answers out of it.  Values are treated as float64 (nulls/NaNs
+    skipped); rank error is O(1/k) w.h.p. — k=256 lands well under 1%
+    in practice (pinned by tests/test_history.py against
+    ``exact_quantiles`` on the same input).  Returns ``(q, value)``
+    like the exact form; returns an empty frame for an all-null/empty
+    column."""
+    from ray.data.aggregate import AggregateFn
+
+    def _vals(block):
+        c = block[col]
+        if isinstance(c, (pa.Array, pa.ChunkedArray)):
+            arr = c.to_numpy(zero_copy_only=False)
+        else:
+            arr = np.asarray(c)
+        return pd.to_numeric(pd.Series(arr), errors="coerce").to_numpy(
+            np.float64
+        )
+
+    agg = AggregateFn(
+        init=lambda _: ([np.empty(0, dtype=np.float64)], 0, 0),
+        accumulate_block=lambda s, b: _kll_add_block(s, _vals(b), k),
+        merge=lambda a, b: _kll_merge(a, b, k),
+        name="kll",
+    )
+    out = ds.aggregate(agg)
+    if out is None or out["kll"][2] == 0:
+        return pd.DataFrame({"q": pd.Series([], dtype=np.float64),
+                             "value": pd.Series([], dtype=np.float64)})
+    return pd.DataFrame({
+        "q": np.asarray(qs, dtype=np.float64),
+        "value": _kll_query(out["kll"], qs),
+    })

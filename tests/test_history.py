@@ -157,3 +157,45 @@ class TestHeavyHitters:
         ).to_pandas()
         assert got["v"].tolist() == ["a", "c"]
         assert got["n"].tolist() == [7, 3]
+
+
+class TestApproxQuantiles:
+    def test_rank_error_vs_exact(self, ray_session):
+        from plugin_debezium_ray.functions.quantiles import approx_quantiles
+
+        rng = np.random.default_rng(11)
+        vals = np.concatenate([
+            rng.normal(0, 1, 60_000),
+            rng.pareto(2.0, 20_000) * 10,  # heavy tail
+        ])
+        t = pa.table({"x": pa.array(vals)})
+        qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        out = approx_quantiles(
+            ray.data.from_arrow(t).repartition(16), "x", qs, k=256
+        )
+        s = np.sort(vals)
+        n = len(s)
+        for q, v in zip(out["q"], out["value"]):
+            # observed rank of the estimate must be within 2% of q·n
+            r = np.searchsorted(s, v, side="right")
+            assert abs(r - q * n) <= 0.02 * n, (q, v, r / n)
+
+    def test_deterministic_and_null_handling(self, ray_session):
+        from plugin_debezium_ray.functions.quantiles import approx_quantiles
+
+        t = pa.table({"x": pa.array(
+            [float(i) for i in range(1000)] + [None] * 50
+        )})
+        a = approx_quantiles(ray.data.from_arrow(t).repartition(4),
+                             "x", [0.5], k=64)
+        b = approx_quantiles(ray.data.from_arrow(t).repartition(4),
+                             "x", [0.5], k=64)
+        assert a["value"].tolist() == b["value"].tolist()
+        assert abs(a["value"][0] - 499.5) < 50
+
+    def test_empty_and_all_null(self, ray_session):
+        from plugin_debezium_ray.functions.quantiles import approx_quantiles
+
+        t = pa.table({"x": pa.array([None, None], pa.float64())})
+        out = approx_quantiles(ray.data.from_arrow(t), "x", [0.5])
+        assert len(out) == 0
