@@ -24,7 +24,6 @@ partition must fit a task — raise ``num_partitions`` with the corpus.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -77,34 +76,64 @@ def scd2_history(
         ).astype(np.int32)
         return t.append_column("_part", pa.array(part))
 
-    data_cols = [c for c in ds.schema().names if c != deleted_col]
+    # one eager schema fetch (materialize() a lazy input whose upstream
+    # is expensive first — a lazy schema() runs a limit-1 plan of the
+    # whole upstream, same contract as asof_join_shuffle)
+    sch = ds.schema()
+    data_cols = [c for c in sch.names if c != deleted_col]
     out_cols = data_cols + [valid_to_col, is_current_col]
+
+    def _arrow_type(tp):
+        if isinstance(tp, pa.DataType):
+            return tp
+        try:  # pandas-block Datasets report numpy dtypes here
+            return pa.from_numpy_dtype(tp)
+        except (TypeError, NotImplementedError, pa.ArrowNotImplementedError):
+            return None
+
+    _types = {n: _arrow_type(t) for n, t in zip(sch.names, sch.types)}
+
+    def empty_out() -> "pa.Table | None":
+        if any(_types.get(c) is None for c in data_cols):
+            return None
+        cols = {c: pa.array([], type=_types[c]) for c in data_cols}
+        cols[valid_to_col] = pa.array([], type=_types[order_col])
+        cols[is_current_col] = pa.array([], type=pa.bool_())
+        return pa.table(cols)
 
     def per_partition(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            # keep the OUTPUT schema on empty blocks (input-schema or
+            # schema-less empties would otherwise leak through)
+            seed = empty_out()
+            if seed is not None:
+                return seed
             if set(out_cols) <= set(t.column_names):
                 return t.select(out_cols)
             return t
         t = t.drop_columns(["_part"])
-        # sort by (key..., order); stable so duplicate orders keep
-        # input order.  Sorting happens on a pandas frame of ONLY the
-        # key/order columns; payloads ride along via one typed take.
-        sdf = pd.DataFrame(
-            {f"k{i}": t[c].to_pandas() for i, c in enumerate(keys)}
-            | {"_o": t[order_col].to_pandas()}
+        # sort by (key..., order) — Arrow table sort is stable and
+        # EXACT (a pandas detour coerces nullable int64 to float64,
+        # collapsing keys/LSNs above 2^53); null keys sort first
+        order = pc.sort_indices(
+            t.select(keys + [order_col]),
+            sort_keys=[(c, "ascending") for c in keys]
+            + [(order_col, "ascending")],
+            null_placement="at_start",
         )
-        order = sdf.sort_values(
-            [f"k{i}" for i in range(len(keys))] + ["_o"],
-            kind="stable", na_position="first",
-        ).index.to_numpy(np.int64)
-        t = t.take(pa.array(order))
-        # run boundaries: factorize each SORTED key column (nulls code
-        # -1, one group) and mark where any code changes
+        t = t.take(order)
+        # run boundaries: dictionary-encode each SORTED key column
+        # (exact value identity — NaNs share a slot, nulls -> -1, one
+        # group each) and mark where any code changes
         new_run = np.zeros(t.num_rows, dtype=bool)
-        for i, c in enumerate(keys):
-            codes = pd.factorize(
-                sdf[f"k{i}"].to_numpy()[order], use_na_sentinel=True
-            )[0]
+        for c in keys:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.chunk(0) if col.num_chunks == 1 \
+                    else col.combine_chunks()
+            codes = pc.fill_null(
+                pc.dictionary_encode(col).indices, -1
+            ).to_numpy(zero_copy_only=False)
             new_run[1:] |= codes[1:] != codes[:-1]
         # lead(order) within runs: shift the SORTED order column up by
         # one; the last row of each run (next row starts a new run, or
@@ -129,8 +158,16 @@ def scd2_history(
             t = t.filter(pc.invert(keep))
         return t.select(out_cols)
 
-    return (
+    out = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(per_partition, batch_format="pyarrow")
     )
+    seed = empty_out()
+    if seed is not None:
+        # schema seed: an EMPTY grouped result has zero blocks (the
+        # map_groups UDF never runs), which would surface as a
+        # zero-column Dataset — union one typed empty block so the
+        # output contract holds on an empty changelog
+        out = out.union(ray.data.from_arrow(seed))
+    return out

@@ -207,22 +207,29 @@ def heavy_hitters_sketch(
     ``info['exact_guaranteed']`` is True when the k-th exact count
     exceeds D — the returned top-k is then provably the true top-k."""
 
+    import pickle
+
+    # the accumulator travels as PICKLED bytes: a (dict, int) tuple is
+    # not Arrow-convertible, and Ray's aggregate logs a full
+    # ArrowConversionError traceback per fold before falling back to
+    # object blocks — bytes convert cleanly (and the summary is small,
+    # O(capacity) entries)
     def _acc(state, block):
-        d, delta = state
-        d = dict(d)
+        d, delta = pickle.loads(state)
         vals, cnts = _block_counts(block, col, weight_col)
         for v, c in zip(vals.tolist(), cnts.tolist()):
             d[v] = d.get(v, 0) + c
-        return d, delta + _mg_compress(d, capacity)
+        return pickle.dumps((d, delta + _mg_compress(d, capacity)))
 
     def _merge(a, b):
-        d = dict(a[0])
-        for v, c in b[0].items():
+        d, ca = pickle.loads(a)
+        db, cb = pickle.loads(b)
+        for v, c in db.items():
             d[v] = d.get(v, 0) + c
-        return d, a[1] + b[1] + _mg_compress(d, capacity)
+        return pickle.dumps((d, ca + cb + _mg_compress(d, capacity)))
 
     agg = AggregateFn(
-        init=lambda _: ({}, 0),
+        init=lambda _: pickle.dumps(({}, 0)),
         accumulate_block=_acc,
         merge=_merge,
         name="mg",
@@ -234,8 +241,40 @@ def heavy_hitters_sketch(
                       count_col: pa.array([], pa.int64())}),
             {"max_undercount": 0, "exact_guaranteed": True},
         )
-    cand, max_under = out["mg"]
-    cand_arr = pa.array(list(cand.keys()))
+    cand, max_under = pickle.loads(out["mg"])
+
+    def _col_type():
+        try:
+            sch = ds.schema(fetch_if_missing=False)
+        except TypeError:
+            sch = None
+        if sch is not None and col in sch.names:
+            tp = sch.types[sch.names.index(col)]
+            if isinstance(tp, pa.DataType):
+                return tp
+            try:
+                return pa.from_numpy_dtype(tp)
+            except (TypeError, NotImplementedError,
+                    pa.ArrowNotImplementedError):
+                return None
+        return None
+
+    if not cand:
+        # a non-empty dataset whose column is all null (or whose every
+        # count was decremented away at tiny capacity): skip the
+        # recount — pc.is_in rejects a null-typed empty value set
+        tp = _col_type() or pa.null()
+        return (
+            pa.table({col: pa.array([], type=tp),
+                      count_col: pa.array([], pa.int64())}),
+            {"max_undercount": int(max_under),
+             "exact_guaranteed": max_under == 0},
+        )
+    tp = _col_type()
+    cand_arr = (
+        pa.array(list(cand.keys()), type=tp)
+        if tp is not None else pa.array(list(cand.keys()))
+    )
 
     def recount(t: pa.Table) -> pa.Table:
         tv = t.filter(
@@ -267,7 +306,15 @@ def heavy_hitters_sketch(
         col: cand_arr.slice(0, 0), count_col: pa.array([], pa.int64()),
     })
     kth = tbl[count_col][min(k, tbl.num_rows) - 1].as_py() if tbl.num_rows else 0
+    # exact iff (a) the summary never compressed (D == 0: candidates =
+    # ALL distinct values, so the recount is the true top-k even with
+    # fewer than k rows), or (b) a FULL k rows came back AND the k-th
+    # exact count clears the bound — fewer than k rows with D > 0 can
+    # silently miss values whose true count <= D
     return tbl, {
         "max_undercount": int(max_under),
-        "exact_guaranteed": bool(kth > max_under),
+        "exact_guaranteed": bool(
+            max_under == 0
+            or (tbl.num_rows >= k and kth > max_under)
+        ),
     }

@@ -199,3 +199,59 @@ class TestApproxQuantiles:
         t = pa.table({"x": pa.array([None, None], pa.float64())})
         out = approx_quantiles(ray.data.from_arrow(t), "x", [0.5])
         assert len(out) == 0
+
+
+class TestReviewRegressions:
+    """Pins for the round-5 self-review findings on these operators."""
+
+    def test_sketch_flag_false_when_rows_missing(self, ray_session):
+        # 5 heavy values + 25 tied light values at tiny capacity: the
+        # compress drops every light value, the recount returns only 5
+        # rows — the flag must NOT claim the true top-10
+        vals = [f"h{i}" for i in range(5)] * 10_000 \
+            + [f"t{i:02d}" for i in range(25)] * 5
+        t = pa.table({"v": pa.array(vals)})
+        tbl, info = heavy_hitters_sketch(
+            ray.data.from_arrow(t).repartition(4), "v", k=10,
+            capacity=16,
+        )
+        assert tbl.num_rows < 10
+        assert not info["exact_guaranteed"]
+        assert info["max_undercount"] > 0
+
+    def test_sketch_all_null_column(self, ray_session):
+        t = pa.table({"v": pa.array([None, None], pa.string())})
+        tbl, info = heavy_hitters_sketch(ray.data.from_arrow(t), "v", k=5)
+        assert tbl.num_rows == 0
+        assert tbl.column_names == ["v", "n"]
+        # nothing was ever decremented: the empty top-k IS exact
+        assert info["exact_guaranteed"]
+
+    def test_scd2_empty_input_keeps_schema(self, ray_session):
+        t = pa.table({
+            "lsn": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "deleted": pa.array([], pa.bool_()),
+        })
+        out = scd2_history(
+            ray.data.from_arrow(t), key_cols="k", order_col="lsn",
+            deleted_col="deleted", num_partitions=4,
+        )
+        sch = out.schema()
+        assert sch.names == ["lsn", "k", "valid_to", "is_current"]
+        assert out.count() == 0
+
+    def test_scd2_exact_above_2_53_keys_with_nulls(self, ray_session):
+        # nullable int64 keys used to detour through pandas float64,
+        # collapsing 2^53 and 2^53+1 into ONE version chain
+        t = pa.table({
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array([2**53, 2**53 + 1, None], pa.int64()),
+            "deleted": pa.array([False, False, False]),
+        })
+        out = scd2_history(
+            ray.data.from_arrow(t), key_cols="k", order_col="lsn",
+            deleted_col="deleted", num_partitions=4,
+        ).to_pandas()
+        assert sorted(out["is_current"].tolist()) == [True, True, True]
+        assert out["valid_to"].isna().all()
