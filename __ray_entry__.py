@@ -1458,6 +1458,39 @@ def q_heavy_hitters(sf_dir: str):
                          count_col="n")
 
 
+def q_window_join_events(sf_dir: str):
+    """Big-big stream-stream window join: for every error event, the
+    same user's events in the preceding 5 minutes (inclusive).  Both
+    sides are the corpus-scale event stream — one key co-partition
+    shuffle, per-partition batched binary searches (functions/joins.py:
+    window_join).  Registered beyond the driver's ~50-entry oracle
+    window (which is full): correctness is pinned by the DuckDB
+    band-join parity suite in tests/test_window_join.py, which runs
+    the identical SQL shape."""
+    import pyarrow.compute as _pc
+
+    from plugin_debezium_ray.functions.joins import window_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    left = (
+        ev.filter(expr="event_type == 'error'")
+        .drop_columns(["event_type"])
+    )
+    right = ev.map_batches(
+        lambda t: t.rename_columns(
+            ["near_id", "user_id", "ts", "near_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return window_join(
+        left, right, on="ts", by="user_id",
+        before=300_000_000, after=0, num_partitions=64,
+    )
+
+
 _ANN_ORACLE_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qv
                FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -1549,6 +1582,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned with an r4 driver row)
         "dedup_semantic": q_dedup_semantic,
         "agg_approx_distinct": q_agg_approx_distinct,
+        # window_join is oracle-EXPRESSIBLE but the 50-entry window is
+        # full: the identical band-join SQL runs as a DuckDB parity
+        # pytest instead (tests/test_window_join.py)
+        "window_join_events": q_window_join_events,
         "cdc_six_ops": q_cdc_six_ops,
         "ann_ivf_approx": q_ann_ivf_approx,
         "dedup_minhash": q_dedup_minhash,

@@ -691,3 +691,169 @@ def asof_join_shuffle(
         .groupby("_part")
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------- window (band) join
+
+
+def window_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str,
+    by: str,
+    before,
+    after,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Big-big stream-stream TIME-WINDOW equi-join (band join): one
+    output row per (left, right) pair with equal ``by`` keys and
+    ``right.on ∈ [left.on − before, left.on + after]`` (both bounds
+    inclusive) — SQL ``a JOIN b ON a.by = b.by AND b.on BETWEEN a.on −
+    before AND a.on + after``.  The co-partitioned complement of
+    ``interval_join_broadcast`` for when BOTH sides are corpus-scale
+    (event correlation: per-user context events around each anchor).
+
+    Shape: both sides tagged and hash-co-partitioned on the key in ONE
+    groupby shuffle (the asof_join_shuffle pattern); per partition the
+    right side is (key, time)-sorted once, then each key run answers
+    ALL of its left anchors with two batched ``searchsorted`` calls and
+    a segmented-arange expansion — O((L+R)·log R + output), never the
+    per-key cross product.  Key identity is exact (Arrow
+    dictionary-encode over the UNION of both key columns — no pandas
+    float64 detour).  Null/NaN keys and null times never match (INNER
+    join).  ``on`` must be numeric or timestamp; for timestamps,
+    ``before``/``after`` are in MICROSECONDS (the column is cast to
+    int64 µs).  Right payload column names must not collide with left
+    names; the right ``on``/``by`` are dropped (re-select/rename
+    upstream to keep them).  Partitioning assumption: one hash
+    partition must fit a task — raise ``num_partitions`` with the
+    corpus.  Schemas are resolved eagerly (materialize a lazy input
+    whose upstream is expensive first)."""
+
+    def _names_types(ds):
+        sch = ds.schema()
+        return list(sch.names), dict(zip(sch.names, sch.types))
+
+    lnames, ltypes = _names_types(left)
+    rnames, rtypes = _names_types(right)
+    rpayload = [c for c in rnames if c not in (on, by)]
+    overlap = [c for c in rpayload if c in lnames]
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {overlap}")
+    out_cols = lnames + rpayload
+    canon = [by, on] + [c for c in lnames if c not in (by, on)] \
+        + rpayload + ["_side", "_part"]
+
+    def _pad(tv: pa.Table, cols, types) -> pa.Table:
+        for c in cols:
+            tv = tv.append_column(c, pa.nulls(tv.num_rows, types[c]))
+        return tv
+
+    def _prep(side: int, pad_cols, pad_types):
+        def go(t: pa.Table) -> pa.Table:
+            # INNER join: rows with a null/NaN key or null time can
+            # never match — drop them BEFORE the shuffle
+            tv = t.filter(_valid_key_mask(t, [on, by]))
+            tv = _pad(tv, pad_cols, pad_types)
+            tv = tv.append_column(
+                "_side", pa.array(np.full(tv.num_rows, side, dtype=np.int8))
+            )
+            h = group_key_hash64(tv[by])
+            part = (h % np.uint64(num_partitions)).astype(np.int32)
+            return tv.append_column("_part", pa.array(part)).select(canon)
+        return go
+
+    def _times(col) -> np.ndarray:
+        ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_timestamp(ca.type) or pa.types.is_integer(ca.type):
+            return ca.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return ca.to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            if set(out_cols) <= set(t.column_names):
+                return t.select(out_cols)
+            return t
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        lpos = np.flatnonzero(side == 0)
+        rpos = np.flatnonzero(side == 1)
+        lt = t.take(pa.array(lpos))
+
+        def empty() -> pa.Table:
+            return lt.slice(0, 0).select(out_cols)
+
+        if len(lpos) == 0 or len(rpos) == 0:
+            return empty()
+        rt = t.take(pa.array(rpos))
+        # exact shared key codes: encode the UNION of both key columns
+        kcol = pa.concat_arrays([
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in (lt[by], rt[by])
+        ])
+        codes = pc.dictionary_encode(kcol).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64, copy=False)  # no nulls: filtered in prep
+        lcode, rcode = codes[: len(lpos)], codes[len(lpos):]
+        ltv, rtv = _times(lt[on]), _times(rt[on])
+        r_order = np.lexsort((rtv, rcode))
+        rcode_s, rtv_s = rcode[r_order], rtv[r_order]
+        l_order = np.lexsort((ltv, lcode))
+        lcode_s, ltv_s = lcode[l_order], ltv[l_order]
+        # align key runs of the two sorted sequences
+        l_new = np.empty(len(lcode_s), dtype=bool)
+        l_new[0] = True
+        np.not_equal(lcode_s[1:], lcode_s[:-1], out=l_new[1:])
+        l_starts = np.flatnonzero(l_new)
+        l_ends = np.concatenate([l_starts[1:], [len(lcode_s)]])
+        r_run_lo = np.searchsorted(rcode_s, lcode_s[l_starts], side="left")
+        r_run_hi = np.searchsorted(rcode_s, lcode_s[l_starts], side="right")
+        l_parts, r_parts = [], []
+        for ls, le, rs, re_ in zip(l_starts, l_ends, r_run_lo, r_run_hi):
+            if rs == re_:
+                continue
+            seg = rtv_s[rs:re_]
+            anchors = ltv_s[ls:le]
+            lo = rs + np.searchsorted(seg, anchors - before, side="left")
+            hi = rs + np.searchsorted(seg, anchors + after, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            goff = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.repeat(lo, counts) + (
+                np.arange(total, dtype=np.int64) - np.repeat(goff, counts)
+            )
+            l_parts.append(np.repeat(l_order[ls:le], counts))
+            r_parts.append(r_order[pos])
+        if not l_parts:
+            return empty()
+        left_idx = np.concatenate(l_parts)
+        right_idx = pa.array(np.concatenate(r_parts))
+        out = lt.take(pa.array(left_idx))
+        cols = {c: out[c] for c in lnames}
+        for c in rpayload:
+            ca = rt[c]
+            ca = ca.combine_chunks() if isinstance(ca, pa.ChunkedArray) else ca
+            cols[c] = pc.take(ca, right_idx)
+        return pa.table({c: cols[c] for c in out_cols})
+
+    out = (
+        left.map_batches(
+            _prep(0, rpayload, rtypes), batch_format="pyarrow"
+        )
+        .union(right.map_batches(
+            _prep(1, [c for c in lnames if c not in (by, on)], ltypes),
+            batch_format="pyarrow",
+        ))
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    types = {**ltypes, **rtypes}
+    if all(isinstance(types[c], pa.DataType) for c in out_cols):
+        # schema seed for the empty-input case (zero grouped blocks
+        # would surface as a zero-column Dataset)
+        out = out.union(ray.data.from_arrow(pa.table({
+            c: pa.array([], type=types[c]) for c in out_cols
+        })))
+    return out
