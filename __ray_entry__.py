@@ -1491,6 +1491,45 @@ def q_window_join_events(sf_dir: str):
     )
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental cross-corpus dedup: build a persisted bucket-
+    partitioned content-hash index over the 'corpus' third of
+    documents, then anti-probe the remaining two thirds against it —
+    probe tasks read ONLY the buckets the new shard touches (the
+    add-a-shard path that avoids re-scanning 100 TB per shard).
+    Registered beyond the full oracle window; the identical NOT IN
+    anti-join SQL runs as the DuckDB parity pytest
+    (tests/test_incremental_dedup.py)."""
+    import tempfile
+
+    from plugin_debezium_ray.functions.dedup import (
+        build_content_index, dedup_against_index,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    import numpy as _np
+    import pyarrow as pa
+
+    def _third(want_zero: bool):
+        def go(t: "pa.Table") -> "pa.Table":
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0
+            return t.filter(pa.array(m if want_zero else ~m))
+        return go
+
+    corpus = docs.map_batches(_third(True), batch_format="pyarrow")
+    new = docs.map_batches(_third(False), batch_format="pyarrow")
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "cindex")
+        build_content_index(corpus, path, normalize=True, num_buckets=32)
+        out = dedup_against_index(
+            new, path, keep_cols=["doc_id", "lang"]
+        ).materialize()
+    return out
+
+
 _ANN_ORACLE_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qv
                FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -1586,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full: the identical band-join SQL runs as a DuckDB parity
         # pytest instead (tests/test_window_join.py)
         "window_join_events": q_window_join_events,
+        "dedup_incremental": q_dedup_incremental,
         "cdc_six_ops": q_cdc_six_ops,
         "ann_ivf_approx": q_ann_ivf_approx,
         "dedup_minhash": q_dedup_minhash,

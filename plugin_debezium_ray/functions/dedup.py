@@ -1585,3 +1585,171 @@ def semantic_dedup(
         .groupby("_cluster")
         .map_groups(prune, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- incremental (index) dedup
+#
+# The add-a-shard path: at 100 TB you do NOT re-dedup the whole corpus
+# when a new shard arrives — you keep a persisted index of the corpus'
+# two-lane 128-bit content hashes, bucket-partitioned by hash, and
+# anti-probe only the buckets the new shard touches.  The index is
+# hashes only (16 bytes/doc + bucket dirs): ~160 GB for 10^10 docs,
+# and a probe task reads ONE bucket partition — never the corpus, never
+# the whole index.
+
+
+def build_content_index(
+    ds: "ray.data.Dataset",
+    path: str,
+    *,
+    text_col: str = "text",
+    normalize: bool = False,
+    num_buckets: int = 256,
+) -> dict:
+    """Persist the corpus' content-hash index: bucket-partitioned
+    parquet of (h0, h1) under ``path`` (hive layout, one directory per
+    ``bucket = h0 % num_buckets``) plus an ``_index_meta.json`` pinning
+    the hash scheme (``normalize``/``num_buckets``) so probes and
+    extensions cannot silently mix schemes."""
+    import json
+    import os
+
+    def hashed(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, text_col=text_col, normalize=normalize)
+        b = (t["_h0"].to_numpy() % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "h0": t["_h0"], "h1": t["_h1"], "bucket": pa.array(b),
+        })
+
+    ds.map_batches(hashed, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket"]
+    )
+    meta = {"version": 1, "num_buckets": num_buckets,
+            "normalize": bool(normalize)}
+    tmp = os.path.join(path, "_index_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_index_meta.json"))
+    return meta
+
+
+def _index_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        return json.load(f)
+
+
+def extend_content_index(
+    ds: "ray.data.Dataset", path: str, *, text_col: str = "text"
+) -> dict:
+    """Append a (deduplicated) shard's hashes to an existing index —
+    the commit step after ``dedup_against_index`` keeps a shard.  Writes
+    NEW files into the same bucket directories (Ray parquet filenames
+    are unique per write), so a crashed extension never corrupts
+    existing files; re-running only over-approximates membership, which
+    is dedup-safe (already-indexed content stays indexed)."""
+    meta = _index_meta(path)
+
+    def hashed(t: pa.Table) -> pa.Table:
+        t = add_content_hash(
+            t, text_col=text_col, normalize=meta["normalize"]
+        )
+        b = (
+            t["_h0"].to_numpy() % np.uint64(meta["num_buckets"])
+        ).astype(np.int32)
+        return pa.table({
+            "h0": t["_h0"], "h1": t["_h1"], "bucket": pa.array(b),
+        })
+
+    ds.map_batches(hashed, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket"]
+    )
+    return meta
+
+
+def dedup_against_index(
+    new: "ray.data.Dataset",
+    path: str,
+    *,
+    text_col: str = "text",
+    keep_cols: "list[str] | None" = None,
+) -> "ray.data.Dataset":
+    """Drop every new-shard row whose content hash already exists in
+    the persisted index (cross-corpus exact dedup; within-shard
+    duplicates are NOT touched — run ``exact_dedup`` on the shard
+    first).  The shard is hashed per batch and co-grouped by index
+    bucket; each probe task reads ONLY its bucket's partition directory
+    (buckets the shard doesn't touch are never read) and runs the
+    vectorized two-lane membership probe (searchsorted on lane 0,
+    confirm lane 1 — same false-positive math as ``decontaminate``: a
+    wrong drop needs a simultaneous 128-bit collision).  ``keep_cols``
+    prunes the columns that ride the bucket shuffle, as in
+    ``exact_dedup``.  The schema resolves eagerly (materialize an
+    expensive lazy input first)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta = _index_meta(path)
+    nb, normalize = meta["num_buckets"], meta["normalize"]
+
+    sch = new.schema()
+    out_cols = list(keep_cols) if keep_cols is not None else list(sch.names)
+    _types = dict(zip(sch.names, sch.types))
+    drop = ["_h0", "_h1", "_bucket"]
+
+    def hashed(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, text_col=text_col, normalize=normalize)
+        if keep_cols is not None:
+            t = t.select(list(keep_cols) + ["_h0", "_h1"])
+        b = (t["_h0"].to_numpy() % np.uint64(nb)).astype(np.int32)
+        return t.append_column("_bucket", pa.array(b))
+
+    def empty_out() -> "pa.Table | None":
+        if any(not isinstance(_types.get(c), pa.DataType)
+               for c in out_cols):
+            return None
+        return pa.table({
+            c: pa.array([], type=_types[c]) for c in out_cols
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            seed = empty_out()
+            if seed is not None:
+                return seed
+            return g.drop_columns([c for c in drop
+                                   if c in g.column_names])
+        b = g["_bucket"][0].as_py()
+        d = os.path.join(path, f"bucket={b}")
+        if not os.path.isdir(d):
+            return g.drop_columns(drop)
+        idx = pq.read_table(d, columns=["h0", "h1"])
+        i0 = idx["h0"].to_numpy(zero_copy_only=False)
+        i1 = idx["h1"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i1, i0))
+        i0, i1 = i0[order], i1[order]
+        h0 = g["_h0"].to_numpy(zero_copy_only=False)
+        h1 = g["_h1"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(i0, h0, side="left")
+        hi = np.searchsorted(i0, h0, side="right")
+        runs = hi - lo
+        hit = np.zeros(len(h0), dtype=bool)
+        one = runs == 1  # overwhelmingly common, fully vectorized
+        safe = np.minimum(lo, max(len(i0) - 1, 0))
+        hit[one] = i1[safe[one]] == h1[one]
+        for i in np.flatnonzero(runs > 1):  # 2^-64-rare lane-0 ties
+            hit[i] = bool(np.any(i1[lo[i]:hi[i]] == h1[i]))
+        return g.filter(pa.array(~hit)).drop_columns(drop)
+
+    out = (
+        new.map_batches(hashed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    seed = empty_out()
+    if seed is not None:
+        out = out.union(ray.data.from_arrow(seed))
+    return out
