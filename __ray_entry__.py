@@ -1530,6 +1530,21 @@ def q_dedup_incremental(sf_dir: str):
     return out
 
 
+def q_profile_events(sf_dir: str):
+    """One-pass profile of the events table: exact count/nulls/min/max/
+    mean per column plus HLL distinct + KLL quantiles — one streaming
+    aggregate, no shuffle (functions/profile.py).  Rows-only by nature
+    (sketch fields are approximate); the exact fields are DuckDB-parity
+    pytest-pinned in tests/test_profile.py."""
+    from plugin_debezium_ray.functions.profile import profile
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value", "event_type"],
+    )
+    return profile(ds)
+
+
 _ANN_ORACLE_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qv
                FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -1626,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest instead (tests/test_window_join.py)
         "window_join_events": q_window_join_events,
         "dedup_incremental": q_dedup_incremental,
+        "profile_events": q_profile_events,
         "cdc_six_ops": q_cdc_six_ops,
         "ann_ivf_approx": q_ann_ivf_approx,
         "dedup_minhash": q_dedup_minhash,

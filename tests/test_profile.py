@@ -1,0 +1,69 @@
+"""One-pass dataset profiler (functions/profile.py) vs DuckDB exact
+statistics + sketch error bands."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from plugin_debezium_ray.functions.profile import profile
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestProfile:
+    def test_events_profile_matches_exact_stats(self, ray_session):
+        ds = ray.data.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "value", "event_type"],
+        )
+        out = profile(ds).set_index("column")
+        exp = duckdb.sql(f"""
+            SELECT count(*) AS n,
+                   count(DISTINCT user_id) AS du,
+                   min(value) AS vmin, max(value) AS vmax,
+                   avg(value) AS vmean,
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS vnull,
+                   min(event_type) AS tmin, max(event_type) AS tmax,
+                   quantile_disc(value, 0.5) AS vp50
+            FROM '{SF}/events.parquet'
+        """).df().iloc[0]
+        assert out.loc["event_id", "count"] == exp["n"]
+        assert out.loc["value", "nulls"] == exp["vnull"]
+        assert out.loc["value", "min"] == exp["vmin"]
+        assert out.loc["value", "max"] == exp["vmax"]
+        assert abs(out.loc["value", "mean"] - exp["vmean"]) < 1e-9
+        assert out.loc["event_type", "min"] == exp["tmin"]
+        assert out.loc["event_type", "max"] == exp["tmax"]
+        # sketches: HLL within 5% at this cardinality, KLL p50 near
+        assert abs(out.loc["user_id", "approx_distinct"] - exp["du"]) \
+            <= max(2, 0.05 * exp["du"])
+        n_nonnull = exp["n"] - exp["vnull"]
+        s = duckdb.sql(
+            f"SELECT value FROM '{SF}/events.parquet' "
+            "WHERE value IS NOT NULL ORDER BY value"
+        ).df()["value"].to_numpy()
+        r = np.searchsorted(s, out.loc["value", "p50"], side="right")
+        assert abs(r - 0.5 * n_nonnull) <= 0.03 * n_nonnull
+
+    def test_empty_dataset(self, ray_session):
+        t = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.string())})
+        out = profile(ray.data.from_arrow(t)).set_index("column")
+        assert out.loc["a", "count"] == 0
+        assert out.loc["a", "approx_distinct"] == 0
+        assert out.loc["b", "min"] is None
+
+    def test_all_null_and_bool_columns(self, ray_session):
+        t = pa.table({
+            "x": pa.array([None, None], pa.float64()),
+            "flag": pa.array([True, False]),
+        })
+        out = profile(ray.data.from_arrow(t)).set_index("column")
+        assert out.loc["x", "nulls"] == 2
+        assert out.loc["x", "mean"] is None or pd.isna(out.loc["x", "mean"])
+        # bools profile as non-numeric: no mean, lexical-ish min/max
+        assert pd.isna(out.loc["flag", "mean"]) \
+            or out.loc["flag", "mean"] is None
+        assert out.loc["flag", "nulls"] == 0
