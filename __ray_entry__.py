@@ -1471,15 +1471,20 @@ def q_window_join_events(sf_dir: str):
 
     from plugin_debezium_ray.functions.joins import window_join
 
-    ev = ray.data.read_parquet(
+    import pyarrow.dataset as pads
+
+    # anchor side: row-group-level predicate pushdown at the READ (at
+    # corpus scale the anchors are a sliver of the stream — decode only
+    # their row groups), then the residual exact filter
+    left = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "ts", "event_type"],
-    )
-    left = (
-        ev.filter(expr="event_type == 'error'")
-        .drop_columns(["event_type"])
-    )
-    right = ev.map_batches(
+        filter=pads.field("event_type") == "error",
+    ).drop_columns(["event_type"])
+    right = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
         lambda t: t.rename_columns(
             ["near_id", "user_id", "ts", "near_type"]
         ),

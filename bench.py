@@ -292,6 +292,9 @@ def _suite(sf_dir: str) -> dict[str, float]:
         "chunk_documents",
         "cdc_scd2",
         "heavy_hitters",
+        "window_join_events",
+        "dedup_incremental",
+        "profile_events",
     ]
     import ray.data as _rd
 
