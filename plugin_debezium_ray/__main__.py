@@ -192,6 +192,83 @@ def cmd_mv(args) -> dict:
     }
 
 
+def cmd_scd2(args) -> dict:
+    """Materialize SCD2 version rows from a parquet changelog and write
+    them as partitioned parquet."""
+    import ray.data
+
+    from plugin_debezium_ray.functions.history import scd2_history
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input)
+    out = scd2_history(
+        ds,
+        key_cols=args.key_cols.split(","),
+        order_col=args.order_col,
+        deleted_col=args.deleted_col,
+        num_partitions=args.num_partitions,
+    )
+    out.write_parquet(args.out)
+    return {
+        "command": "scd2",
+        "input": args.input,
+        "out": args.out,
+        "rows": out.count(),
+    }
+
+
+def cmd_profile(args) -> dict:
+    """One-pass per-column profile of a parquet table (exact
+    count/nulls/min/max/mean + HLL distinct + KLL quantiles)."""
+    import ray.data
+
+    from plugin_debezium_ray.functions.profile import profile
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input)
+    cols = args.columns.split(",") if args.columns else None
+    df = profile(ds, cols)
+    import pandas as pd
+
+    # strict JSON: NaN tokens (non-numeric means/quantiles) break
+    # non-Python consumers — emit null
+    df = df.astype(object).where(pd.notna(df), None)
+    return {
+        "command": "profile",
+        "input": args.input,
+        "rows": df.to_dict(orient="records"),
+    }
+
+
+def cmd_index(args) -> dict:
+    """Content-hash index maintenance: build it from a corpus, probe a
+    new shard against it (kept rows written to --out), or extend it
+    with a kept shard."""
+    import ray.data
+
+    from plugin_debezium_ray.functions.dedup import (
+        build_content_index, dedup_against_index, extend_content_index,
+    )
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input)
+    if args.action == "build":
+        meta = build_content_index(
+            ds, args.path, text_col=args.text_col,
+            normalize=args.normalize, num_buckets=args.num_buckets,
+        )
+        return {"command": "index", "action": "build", **meta}
+    if args.action == "probe":
+        kept = dedup_against_index(ds, args.path, text_col=args.text_col)
+        kept.write_parquet(args.out)
+        return {
+            "command": "index", "action": "probe",
+            "kept_rows": kept.count(), "out": args.out,
+        }
+    meta = extend_content_index(ds, args.path, text_col=args.text_col)
+    return {"command": "index", "action": "extend", **meta}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m plugin_debezium_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -264,7 +341,40 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("--sum", default=None, help="optional sum column")
     mp.set_defaults(fn=cmd_mv)
 
+    sp = sub.add_parser(
+        "scd2", help="parquet changelog -> SCD2 version rows"
+    )
+    sp.add_argument("--input", required=True, help="changelog parquet")
+    sp.add_argument("--out", required=True, help="output parquet dir")
+    sp.add_argument("--key-cols", required=True, help="comma-separated key")
+    sp.add_argument("--order-col", required=True, help="LSN/version column")
+    sp.add_argument("--deleted-col", default=None,
+                    help="bool column marking deletes")
+    sp.add_argument("--num-partitions", type=int, default=64)
+    sp.set_defaults(fn=cmd_scd2)
+
+    pp = sub.add_parser("profile", help="one-pass per-column profile")
+    pp.add_argument("--input", required=True, help="parquet file/dir")
+    pp.add_argument("--columns", default=None, help="comma-separated subset")
+    pp.set_defaults(fn=cmd_profile)
+
+    ip = sub.add_parser(
+        "index", help="content-hash dedup index: build / probe / extend"
+    )
+    ip.add_argument("action", choices=["build", "probe", "extend"])
+    ip.add_argument("--input", required=True, help="corpus/shard parquet")
+    ip.add_argument("--path", required=True, help="index directory")
+    ip.add_argument("--out", default=None,
+                    help="kept-rows parquet dir (probe)")
+    ip.add_argument("--text-col", default="text")
+    ip.add_argument("--normalize", action="store_true")
+    ip.add_argument("--num-buckets", type=int, default=256)
+    ip.set_defaults(fn=cmd_index)
+
     args = p.parse_args(argv)
+    if getattr(args, "cmd", None) == "index" \
+            and args.action == "probe" and not args.out:
+        p.error("index probe requires --out")
     out = args.fn(args)
     print(json.dumps(out, default=_jsonable))
     return 0

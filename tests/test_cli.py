@@ -148,3 +148,73 @@ def test_cli_mv_refresh(capsys, tmp_path, wal_and_snap):
                     "--sum", "lsn")
     assert again["buckets_recomputed"] == 0
     assert again["rows"] == out["rows"]
+
+
+def test_cli_scd2(capsys, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "log.parquet")
+    out = str(tmp_path / "scd2")
+    pq.write_table(pa.table({
+        "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([1, 1, 2, 1], pa.int64()),
+        "deleted": pa.array([False, False, False, True]),
+    }), src)
+    res = run_cli(
+        capsys, "scd2", "--input", src, "--out", out,
+        "--key-cols", "k", "--order-col", "lsn",
+        "--deleted-col", "deleted", "--num-partitions", "4",
+    )
+    assert res["rows"] == 3  # the delete closes without emitting
+    got = pq.read_table(out).to_pandas().sort_values("lsn")
+    # k=1: lsn1 closed by lsn2; lsn2 closed by the DELETE at lsn4
+    # (no row emitted for it); k=2's lsn3 stays open
+    assert got["is_current"].tolist() == [False, False, True]
+
+
+def test_cli_profile(capsys, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "x": pa.array([1.0, 2.0, None]),
+        "s": pa.array(["a", "b", "b"]),
+    }), src)
+    res = run_cli(capsys, "profile", "--input", src)
+    rows = {r["column"]: r for r in res["rows"]}
+    assert rows["x"]["count"] == 3 and rows["x"]["nulls"] == 1
+    assert rows["x"]["mean"] == 1.5
+    assert rows["s"]["mean"] is None  # strict JSON: null, not NaN
+
+
+def test_cli_index_roundtrip(capsys, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = str(tmp_path / "corpus.parquet")
+    shard = str(tmp_path / "shard.parquet")
+    idx = str(tmp_path / "cidx")
+    kept = str(tmp_path / "kept")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha", "beta"]),
+    }), corpus)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([2, 3], pa.int64()),
+        "text": pa.array(["alpha", "gamma"]),
+    }), shard)
+    b = run_cli(capsys, "index", "build", "--input", corpus,
+                "--path", idx, "--num-buckets", "4")
+    assert b["num_buckets"] == 4
+    pr = run_cli(capsys, "index", "probe", "--input", shard,
+                 "--path", idx, "--out", kept)
+    assert pr["kept_rows"] == 1  # "alpha" already indexed
+    ex = run_cli(capsys, "index", "extend", "--input", kept,
+                 "--path", idx)
+    assert ex["num_buckets"] == 4
+    pr2 = run_cli(capsys, "index", "probe", "--input", shard,
+                  "--path", idx, "--out", str(tmp_path / "kept2"))
+    assert pr2["kept_rows"] == 0
