@@ -207,7 +207,7 @@ def cmd_scd2(args) -> dict:
         order_col=args.order_col,
         deleted_col=args.deleted_col,
         num_partitions=args.num_partitions,
-    )
+    ).materialize()  # one execution feeds BOTH the write and the count
     out.write_parquet(args.out)
     return {
         "command": "scd2",
@@ -259,7 +259,9 @@ def cmd_index(args) -> dict:
         )
         return {"command": "index", "action": "build", **meta}
     if args.action == "probe":
-        kept = dedup_against_index(ds, args.path, text_col=args.text_col)
+        kept = dedup_against_index(
+            ds, args.path, text_col=args.text_col
+        ).materialize()  # one execution for write + count
         kept.write_parquet(args.out)
         return {
             "command": "index", "action": "probe",

@@ -1614,6 +1614,16 @@ def build_content_index(
     import json
     import os
 
+    if os.path.exists(os.path.join(path, "_index_meta.json")):
+        # appending a DIFFERENT scheme in place would leave old hashes
+        # in wrong-modulus bucket dirs (probes silently miss them) —
+        # the exact corruption the meta file exists to prevent
+        raise ValueError(
+            f"content index already exists at {path!r}; use "
+            "extend_content_index to add a shard, or remove the "
+            "directory to rebuild"
+        )
+
     def hashed(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, text_col=text_col, normalize=normalize)
         b = (t["_h0"].to_numpy() % np.uint64(num_buckets)).astype(np.int32)
@@ -1696,6 +1706,14 @@ def dedup_against_index(
     nb, normalize = meta["num_buckets"], meta["normalize"]
 
     sch = new.schema()
+    if keep_cols is not None:
+        missing = [c for c in keep_cols if c not in sch.names]
+        if missing:
+            # fail fast, not as an opaque KeyError inside a Ray task
+            # after hashing already ran (exact_dedup's guard, same idea)
+            raise ValueError(
+                f"keep_cols not in shard schema: {missing}"
+            )
     out_cols = list(keep_cols) if keep_cols is not None else list(sch.names)
     _types = dict(zip(sch.names, sch.types))
     drop = ["_h0", "_h1", "_bucket"]
@@ -1726,22 +1744,17 @@ def dedup_against_index(
         d = os.path.join(path, f"bucket={b}")
         if not os.path.isdir(d):
             return g.drop_columns(drop)
+        from plugin_debezium_ray.functions.selection import two_lane_hits
+
         idx = pq.read_table(d, columns=["h0", "h1"])
         i0 = idx["h0"].to_numpy(zero_copy_only=False)
         i1 = idx["h1"].to_numpy(zero_copy_only=False)
         order = np.lexsort((i1, i0))
-        i0, i1 = i0[order], i1[order]
-        h0 = g["_h0"].to_numpy(zero_copy_only=False)
-        h1 = g["_h1"].to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(i0, h0, side="left")
-        hi = np.searchsorted(i0, h0, side="right")
-        runs = hi - lo
-        hit = np.zeros(len(h0), dtype=bool)
-        one = runs == 1  # overwhelmingly common, fully vectorized
-        safe = np.minimum(lo, max(len(i0) - 1, 0))
-        hit[one] = i1[safe[one]] == h1[one]
-        for i in np.flatnonzero(runs > 1):  # 2^-64-rare lane-0 ties
-            hit[i] = bool(np.any(i1[lo[i]:hi[i]] == h1[i]))
+        hit = two_lane_hits(
+            i0[order], i1[order],
+            g["_h0"].to_numpy(zero_copy_only=False),
+            g["_h1"].to_numpy(zero_copy_only=False),
+        )
         return g.filter(pa.array(~hit)).drop_columns(drop)
 
     out = (

@@ -766,7 +766,15 @@ def window_join(
 
     def _times(col) -> np.ndarray:
         ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        if pa.types.is_timestamp(ca.type) or pa.types.is_integer(ca.type):
+        if pa.types.is_timestamp(ca.type):
+            # normalize to MICROSECONDS first — a native-unit int64 cast
+            # would make before/after unit-dependent (a timestamp[ns]
+            # column would shrink a 5-minute window to 0.3 s) and mixed
+            # ns/us sides would compare different scales
+            return ca.cast(pa.timestamp("us", tz=ca.type.tz)).cast(
+                pa.int64()
+            ).to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(ca.type):
             return ca.cast(pa.int64()).to_numpy(zero_copy_only=False)
         return ca.to_numpy(zero_copy_only=False).astype(np.float64)
 
@@ -849,7 +857,10 @@ def window_join(
         .groupby("_part")
         .map_groups(per_partition, batch_format="pyarrow")
     )
-    types = {**ltypes, **rtypes}
+    # left types must WIN for left-owned columns (on/by come from the
+    # left table in the output; the right side may carry them in a
+    # different-but-compatible type)
+    types = {**rtypes, **ltypes}
     if all(isinstance(types[c], pa.DataType) for c in out_cols):
         # schema seed for the empty-input case (zero grouped blocks
         # would surface as a zero-column Dataset)

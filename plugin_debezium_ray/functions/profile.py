@@ -90,6 +90,15 @@ def _merge_column(a: dict, b: dict) -> dict:
         "hll": np.maximum(a["hll"], b["hll"]),
         "kll": _kll_merge(a["kll"], b["kll"], _KLL_K),
     }
+    if (a["numeric"] is not None and b["numeric"] is not None
+            and a["numeric"] != b["numeric"]):
+        # object columns can mix numbers and strings ACROSS blocks: the
+        # two accumulators then hold incomparable min/max — demote the
+        # column to non-numeric rather than crash crossing the types
+        out["numeric"] = False
+        out["min"] = None
+        out["max"] = None
+        return out
     mins = [v for v in (a["min"], b["min"]) if v is not None]
     maxs = [v for v in (a["max"], b["max"]) if v is not None]
     out["min"] = min(mins) if mins else None
@@ -111,7 +120,13 @@ def profile(
     (KLL) for numeric columns.  Boolean columns profile as
     non-numeric.  Column list resolves eagerly from the schema
     (materialize an expensive lazy input first)."""
-    cols = list(columns) if columns is not None else list(ds.schema().names)
+    names = list(ds.schema().names)
+    cols = list(columns) if columns is not None else names
+    missing = [c for c in cols if c not in names]
+    if missing:
+        # fail fast, not as an opaque KeyError in a Ray worker after
+        # the scan already started
+        raise ValueError(f"columns not in dataset schema: {missing}")
 
     def _acc(state, block):
         st = pickle.loads(state)

@@ -307,6 +307,33 @@ def benchmark_gram_hashes(
     return np.ascontiguousarray(pairs[:, 0]), np.ascontiguousarray(pairs[:, 1])
 
 
+def two_lane_hits(
+    b0: np.ndarray, b1: np.ndarray, h0: np.ndarray, h1: np.ndarray
+) -> np.ndarray:
+    """Vectorized exact membership of (h0, h1) hash pairs in a
+    reference set sorted by (b0, b1): searchsorted on lane 0, confirm
+    lane 1.  A false positive needs a simultaneous 128-bit collision.
+
+    Two DISTINCT reference pairs colliding on the h0 lane sit adjacent
+    in the sorted order; checking only position ``lo`` would hide the
+    later ones (a false NEGATIVE).  Runs > 1 are 2⁻⁶⁴-scale rare: scan
+    them.  Shared by ``decontaminate`` (gram probe) and
+    ``dedup_against_index`` (content-hash probe) — the collision-math
+    invariants live HERE only."""
+    if len(b0) == 0:
+        return np.zeros(len(h0), dtype=bool)
+    lo = np.searchsorted(b0, h0, side="left")
+    hi = np.searchsorted(b0, h0, side="right")
+    runs = hi - lo
+    hit = np.zeros(len(h0), dtype=bool)
+    one = runs == 1  # the overwhelmingly common case, vectorized
+    safe = np.minimum(lo, len(b0) - 1)
+    hit[one] = b1[safe[one]] == h1[one]
+    for i in np.flatnonzero(runs > 1):
+        hit[i] = bool(np.any(b1[lo[i]:hi[i]] == h1[i]))
+    return hit
+
+
 class _Decontaminator:
     """Actor-pool filter: the broadcast benchmark gram table is fetched
     ONCE per actor in ``__init__``; each batch is a vectorized
@@ -335,20 +362,7 @@ class _Decontaminator:
 
     def _hits(self, h0: np.ndarray, h1: np.ndarray) -> np.ndarray:
         if self.bloom is None:
-            lo = np.searchsorted(self.b0, h0, side="left")
-            hi = np.searchsorted(self.b0, h0, side="right")
-            runs = hi - lo
-            hit = np.zeros(len(h0), dtype=bool)
-            one = runs == 1  # the overwhelmingly common case, vectorized
-            safe = np.minimum(lo, len(self.b0) - 1)
-            hit[one] = self.b1[safe[one]] == h1[one]
-            # two DISTINCT benchmark grams colliding on the h0 lane sit
-            # adjacent in the sorted pairs; checking only position lo
-            # would hide the later ones (a false NEGATIVE — contaminated
-            # text surviving).  Runs > 1 are 2⁻⁶⁴-scale rare: scan them.
-            for i in np.flatnonzero(runs > 1):
-                hit[i] = bool(np.any(self.b1[lo[i]:hi[i]] == h1[i]))
-            return hit
+            return two_lane_hits(self.b0, self.b1, h0, h1)
         hit = np.ones(len(h0), dtype=bool)
         bits = np.uint64(self.bits)
         for i in range(self.probes):  # Kirsch–Mitzenmacher double hashing

@@ -111,3 +111,28 @@ class TestIncrementalDedup:
         import json
         meta = json.load(open(os.path.join(idx_path, "_index_meta.json")))
         assert meta == {"version": 1, "num_buckets": 4, "normalize": True}
+
+
+class TestReviewRegressions:
+    def test_rebuild_over_existing_index_refuses(
+        self, ray_session, idx_path
+    ):
+        corpus, _ = _split()
+        build_content_index(
+            ray.data.from_arrow(corpus), idx_path, num_buckets=16,
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            build_content_index(
+                ray.data.from_arrow(corpus), idx_path, num_buckets=32,
+            )
+
+    def test_keep_cols_fail_fast(self, ray_session, idx_path):
+        corpus, new = _split()
+        build_content_index(
+            ray.data.from_arrow(corpus), idx_path, num_buckets=4,
+        )
+        with pytest.raises(ValueError, match="keep_cols"):
+            dedup_against_index(
+                ray.data.from_arrow(new), idx_path,
+                keep_cols=["doc_id", "langg"],
+            )

@@ -67,3 +67,27 @@ class TestProfile:
         assert pd.isna(out.loc["flag", "mean"]) \
             or out.loc["flag", "mean"] is None
         assert out.loc["flag", "nulls"] == 0
+
+
+class TestReviewRegressions:
+    def test_mixed_numeric_string_object_column_demotes(
+        self, ray_session
+    ):
+        # one block's first non-null is a float, another's a str: the
+        # merge must demote to non-numeric, not crash crossing types
+        import ray.data as rd
+
+        a = pd.DataFrame({"v": [1.5, 2.5]})
+        b = pd.DataFrame({"v": ["x", "y"]})
+        ds = rd.from_pandas(a).union(rd.from_pandas(b))
+        out = profile(ds, ["v"]).set_index("column")
+        assert out.loc["v", "count"] == 4
+        assert out.loc["v", "min"] is None
+        assert pd.isna(out.loc["v", "mean"]) or out.loc["v", "mean"] is None
+
+    def test_missing_column_fails_fast(self, ray_session):
+        t = pa.table({"a": pa.array([1], pa.int64())})
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="not in dataset schema"):
+            profile(ray.data.from_arrow(t), ["vlaue"])

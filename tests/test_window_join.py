@@ -101,3 +101,51 @@ class TestWindowJoin:
             on="t", by="k", before=40, after=40, num_partitions=3,
         ).to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, out)
+
+
+class TestReviewRegressions:
+    def test_timestamp_units_normalize_to_micros(self, ray_session):
+        # a timestamp[ns] column must honor the documented µs window
+        # (native-unit cast would shrink 5 min to 0.3 s); mixed ns/us
+        # sides must still compare on one scale
+        base = np.datetime64("2024-01-01T00:00:00", "ns")
+        left = pa.table({
+            "lid": pa.array([1], pa.int64()),
+            "k": pa.array([1.0]),
+            "t": pa.array([base + np.timedelta64(0, "s")],
+                          pa.timestamp("ns")),
+        })
+        right = pa.table({
+            "k": pa.array([1.0, 1.0]),
+            "t": pa.array([
+                np.datetime64("2024-01-01T00:04:00", "us"),
+                np.datetime64("2024-01-01T00:06:00", "us"),
+            ], pa.timestamp("us")),
+            "rid": pa.array([1, 2], pa.int64()),
+        })
+        out = window_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="t", by="k", before=0, after=300_000_000,  # +5 min
+        ).to_pandas()
+        assert out["rid"].tolist() == [1]  # +4 min in, +6 min out
+
+    def test_seed_types_left_win(self, ray_session):
+        # left t is precomputed epoch-µs int64, right t is timestamp —
+        # the empty-schema seed must carry the LEFT's type or the
+        # stream holds conflicting schemas
+        left = pa.table({
+            "lid": pa.array([], pa.int64()),
+            "k": pa.array([], pa.float64()),
+            "t": pa.array([], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([], pa.float64()),
+            "t": pa.array([], pa.timestamp("us")),
+            "rid": pa.array([], pa.int64()),
+        })
+        out = window_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="t", by="k", before=1, after=1,
+        )
+        sch = out.schema()
+        assert str(sch.types[sch.names.index("t")]) == "int64"
