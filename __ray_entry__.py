@@ -1550,6 +1550,31 @@ def q_profile_events(sf_dir: str):
     return profile(ds)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantized ANN with exact rerank: 16-byte codes (16× at
+    dim 64) scanned via ADC lookup tables, then one filtered scan
+    exactly rescores only the shortlist — full-precision reads stay
+    O(refine·k·queries) at any corpus size (functions/ann.py, Jégou et
+    al. 2011).  Rows-only (approximate by design); recall ≥ 0.9 with
+    rerank is pytest-pinned in tests/test_history.py."""
+    import numpy as np
+
+    from plugin_debezium_ray.functions.ann import (
+        pq_encode, pq_fit, pq_topk,
+    )
+
+    vecs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    books = pq_fit(vecs, m=16, k=256, sample_size=4096)
+    codes = pq_encode(vecs, books).materialize()
+    qrows = vecs.limit(3).take_all()
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float32)
+                  for r in qrows])
+    return pq_topk(codes, books, q, k=10, refine=4, vectors=vecs)
+
+
 _ANN_ORACLE_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qv
                FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -1647,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_join_events": q_window_join_events,
         "dedup_incremental": q_dedup_incremental,
         "profile_events": q_profile_events,
+        "ann_pq": q_ann_pq,
         "cdc_six_ops": q_cdc_six_ops,
         "ann_ivf_approx": q_ann_ivf_approx,
         "dedup_minhash": q_dedup_minhash,

@@ -255,3 +255,74 @@ class TestReviewRegressions:
         ).to_pandas()
         assert sorted(out["is_current"].tolist()) == [True, True, True]
         assert out["valid_to"].isna().all()
+
+
+class TestProductQuantization:
+    def _data(self):
+        import pyarrow.parquet as pq_
+
+        t = pq_.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        return t
+
+    def test_recall_and_rerank(self, ray_session):
+        from plugin_debezium_ray.functions.ann import (
+            brute_force_topk, pq_encode, pq_fit, pq_topk,
+        )
+
+        t = self._data()
+        ds = ray.data.from_arrow(t).repartition(4)
+        books = pq_fit(ds, m=16, k=256, sample_size=4096)
+        codes = pq_encode(ds, books).materialize()
+        q = np.stack([np.asarray(v) for v in
+                      t["embedding"][:3].to_pylist()])
+        exact = brute_force_topk(
+            ray.data.from_arrow(t).repartition(4), q, k=10
+        )
+
+        def recall(df):
+            return np.mean([
+                len(set(df[df.query_id == i].vec_id)
+                    & set(exact[exact.query_id == i].vec_id)) / 10
+                for i in range(3)
+            ])
+
+        adc = pq_topk(codes, books, q, k=10)
+        assert recall(adc) >= 0.5  # random vectors: PQ's worst case
+        refined = pq_topk(
+            codes, books, q, k=10, refine=4,
+            vectors=ray.data.from_arrow(t).repartition(4),
+        )
+        assert recall(refined) >= 0.9
+        # the exact-rerank path returns true scores: rank-1 self match
+        self_rows = refined[refined["rank"] == 1]
+        assert np.allclose(self_rows["score"], 1.0, atol=1e-5)
+
+    def test_fit_deterministic_and_code_width(self, ray_session):
+        from plugin_debezium_ray.functions.ann import pq_encode, pq_fit
+
+        t = self._data()
+        ds = ray.data.from_arrow(t).repartition(4)
+        a = pq_fit(ds, m=8, k=32, sample_size=1024)
+        b = pq_fit(ds, m=8, k=32, sample_size=1024)
+        assert np.array_equal(a, b)
+        codes = pq_encode(ds, a).materialize()
+        sch = codes.schema()
+        assert str(sch.types[sch.names.index("code")]) == \
+            "fixed_size_binary[8]"
+        assert codes.count() == t.num_rows
+
+    def test_refine_requires_vectors(self, ray_session):
+        from plugin_debezium_ray.functions.ann import (
+            pq_encode, pq_fit, pq_topk,
+        )
+
+        t = self._data()
+        ds = ray.data.from_arrow(t).repartition(2)
+        books = pq_fit(ds, m=8, k=32, sample_size=512)
+        codes = pq_encode(ds, books).materialize()
+        q = np.asarray(t["embedding"][0].as_py(), dtype=np.float32)
+        with pytest.raises(ValueError, match="vectors"):
+            pq_topk(codes, books, q, k=5, refine=2)
