@@ -326,3 +326,53 @@ class TestProductQuantization:
         q = np.asarray(t["embedding"][0].as_py(), dtype=np.float32)
         with pytest.raises(ValueError, match="vectors"):
             pq_topk(codes, books, q, k=5, refine=2)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+event_st = st.tuples(
+    st.integers(0, 5),            # key (small space → dense chains)
+    st.booleans(),                # deleted
+    st.integers(0, 99),           # payload
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(events=st.lists(event_st, min_size=1, max_size=50))
+def test_scd2_matches_sequential_oracle(events, ray_session):
+    """Property: for ANY changelog, scd2_history equals a sequential
+    per-key replay (each non-delete opens a version, the next event of
+    the key closes it; deletes emit nothing)."""
+    t = pa.table({
+        "lsn": pa.array(range(len(events)), pa.int64()),
+        "k": pa.array([e[0] for e in events], pa.int64()),
+        "payload": pa.array([e[2] for e in events], pa.int64()),
+        "deleted": pa.array([e[1] for e in events]),
+    })
+    got = scd2_history(
+        ray.data.from_arrow(t), key_cols="k", order_col="lsn",
+        deleted_col="deleted", num_partitions=4,
+    ).to_pandas().sort_values("lsn").reset_index(drop=True)
+    # sequential oracle
+    open_row: dict = {}
+    rows = []
+    for lsn, (k, deleted, payload) in enumerate(events):
+        if k in open_row:
+            rows[open_row.pop(k)]["valid_to"] = lsn
+        if not deleted:
+            open_row[k] = len(rows)
+            rows.append({"lsn": lsn, "k": k, "payload": payload,
+                         "valid_to": None})
+    exp = pd.DataFrame(
+        rows, columns=["lsn", "k", "payload", "valid_to"]
+    )
+    exp["is_current"] = exp["valid_to"].isna()
+    got["valid_to"] = got["valid_to"].astype("float64")
+    exp["valid_to"] = exp["valid_to"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes))
