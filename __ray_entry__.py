@@ -1550,6 +1550,32 @@ def q_profile_events(sf_dir: str):
     return profile(ds)
 
 
+def q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ search (functions/ann.py:IvfPqIndex): cluster-partitioned
+    m-byte PQ codes; a query reads only the probed partitions' (id,
+    code) columns, then the rerank reads only the shortlist's vectors —
+    the billion-scale read shape.  Rows-only; full-probe + rerank vs
+    brute force is pytest-pinned (tests/test_history.py::TestIvfPq)."""
+    import tempfile
+
+    import numpy as np
+
+    from plugin_debezium_ray.functions.ann import IvfPqIndex
+
+    vecs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qrows = vecs.limit(3).take_all()
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float32)
+                  for r in qrows])
+    with tempfile.TemporaryDirectory() as td:
+        idx = IvfPqIndex.build(
+            vecs, os.path.join(td, "ivfpq"), n_clusters=8, m=16,
+        )
+        return idx.search(q, k=10, nprobe=4, refine=4)
+
+
 def q_ann_pq(sf_dir: str):
     """Product-quantized ANN with exact rerank: 16-byte codes (16× at
     dim 64) scanned via ADC lookup tables, then one filtered scan
@@ -1673,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "profile_events": q_profile_events,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "cdc_six_ops": q_cdc_six_ops,
         "ann_ivf_approx": q_ann_ivf_approx,
         "dedup_minhash": q_dedup_minhash,
