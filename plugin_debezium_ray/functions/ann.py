@@ -220,29 +220,18 @@ class IvfIndex:
         return cls(index_dir, centroids, meta["id_col"], meta["vec_col"])
 
     def probe_clusters(self, queries: np.ndarray, nprobe: int) -> list[int]:
-        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        order = np.argsort(
-            ((q[:, None, :] - self.centroids[None, :, :]) ** 2).sum(-1), axis=1
-        )[:, :nprobe]
-        return sorted({int(c) for row in order for c in row})
+        return _nearest_clusters(self.centroids, queries, nprobe)
 
     def search(
         self, queries: np.ndarray, k: int = 10, *, nprobe: int = 4
     ) -> pd.DataFrame:
-        import os
-
-        import glob
-
-        probe = self.probe_clusters(queries, nprobe)
         # Ray 2.49's read_parquet accepts one directory or a list of
         # FILES, not a list of directories — glob the partition files
-        paths = [
-            f
-            for c in probe
-            for f in sorted(
-                glob.glob(os.path.join(self.index_dir, f"cluster={c}", "*.parquet"))
-            )
-        ]
+        paths = _partition_paths(
+            self.index_dir, self.probe_clusters(queries, nprobe)
+        )
+        if not paths:  # every probed centroid owns zero corpus rows
+            return _empty_topk(self.id_col)
         probed = ray.data.read_parquet(paths)
         return brute_force_topk(
             probed, queries, k, id_col=self.id_col, vec_col=self.vec_col
@@ -454,11 +443,20 @@ def pq_fit(
     mat = _normalize(np.stack([
         np.asarray(r[vec_col], dtype=np.float32) for r in sample
     ]))
+    return pq_fit_matrix(mat, m=m, k=k, iters=iters,
+                         rng=np.random.default_rng(seed))
+
+
+def pq_fit_matrix(
+    mat: np.ndarray, *, m: int, k: int, iters: int, rng
+) -> np.ndarray:
+    """The local codebook fit over an already-normalized sample matrix
+    — split out so ``IvfPqIndex.build`` can reuse ONE sample for both
+    the coarse and the PQ quantizer."""
     n, dim = mat.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    rng = np.random.default_rng(seed)
     books = np.empty((m, k, dsub), dtype=np.float32)
     for s in range(m):
         x = np.ascontiguousarray(mat[:, s * dsub:(s + 1) * dsub])
@@ -475,6 +473,76 @@ def pq_fit(
             c = np.concatenate([c, np.repeat(c[:1], k - kk, axis=0)])
         books[s] = c
     return books
+
+
+def _encode_subspaces(xn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Vectorized per-subspace nearest-centroid codes for a normalized
+    (n, dim) matrix — the ONE encode implementation shared by
+    ``pq_encode`` and ``IvfPqIndex.build``.  Validates the dimension
+    exactly: a dim LARGER than m·dsub would otherwise be silently
+    truncated (scores computed from a prefix of every vector)."""
+    mm, k, dsub = books.shape
+    if xn.shape[1] != mm * dsub:
+        raise ValueError(
+            f"vector dim {xn.shape[1]} != m*dsub {mm * dsub} of codebooks"
+        )
+    codes = np.empty((len(xn), mm), dtype=np.uint8)
+    for s in range(mm):
+        xs = np.ascontiguousarray(xn[:, s * dsub:(s + 1) * dsub])
+        c = books[s]
+        scores = (c * c).sum(1)[None, :] - 2.0 * (xs @ c.T)
+        codes[:, s] = np.argmin(scores, axis=1).astype(np.uint8)
+    return codes
+
+
+def _codes_matrix(col, m: int) -> np.ndarray:
+    """Zero-copy (n, m) uint8 view of a fixed_size_binary(m) column —
+    one buffer reshape, no per-row Python bytes (the hot ADC path)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = arr.buffers()[1]
+    return np.frombuffer(
+        buf, dtype=np.uint8, count=len(arr) * m, offset=arr.offset * m
+    ).reshape(len(arr), m)
+
+
+def _nearest_clusters(
+    centroids: np.ndarray, queries: np.ndarray, nprobe: int
+) -> "list[int]":
+    """Union of each query's ``nprobe`` nearest centroids (matmul
+    identity) — the ONE probe implementation shared by both persisted
+    indexes."""
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    order = np.argsort(
+        (centroids * centroids).sum(1)[None, :] - 2.0 * (q @ centroids.T),
+        axis=1,
+    )[:, :nprobe]
+    return sorted({int(c) for row in order for c in row})
+
+
+def _partition_paths(index_dir: str, clusters: "list[int]") -> list:
+    """Parquet files of the probed ``cluster=N`` partitions.  Clusters
+    that received zero corpus rows have no directory and glob to
+    nothing — callers must handle an EMPTY list (read_parquet([])
+    raises)."""
+    import glob
+    import os
+
+    return [
+        f
+        for c in clusters
+        for f in sorted(glob.glob(os.path.join(
+            index_dir, f"cluster={c}", "*.parquet"
+        )))
+    ]
+
+
+def _empty_topk(id_col: str) -> pd.DataFrame:
+    return pd.DataFrame({
+        "query_id": pd.Series([], dtype=np.int64),
+        id_col: pd.Series([], dtype=np.int64),
+        "score": pd.Series([], dtype=np.float32),
+        "rank": pd.Series([], dtype=np.int64),
+    })
 
 
 def pq_encode(
@@ -500,13 +568,7 @@ def pq_encode(
                 id_col: t[id_col],
                 "code": pa.array([], pa.binary(mm)),
             })
-        x = _normalize(_stack(t[vec_col]))
-        codes = np.empty((len(x), mm), dtype=np.uint8)
-        for s in range(mm):
-            xs = np.ascontiguousarray(x[:, s * dsub:(s + 1) * dsub])
-            c = books[s]
-            scores = (c * c).sum(1)[None, :] - 2.0 * (xs @ c.T)
-            codes[:, s] = np.argmin(scores, axis=1).astype(np.uint8)
+        codes = _encode_subspaces(_normalize(_stack(t[vec_col])), books)
         return pa.table({
             id_col: t[id_col],
             "code": pa.array([bytes(row) for row in codes],
@@ -539,9 +601,7 @@ class _PqTopK:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids_out, qs_out, scores_out = [], [], []
         if t.num_rows:
-            codes = np.frombuffer(
-                b"".join(t["code"].to_pylist()), dtype=np.uint8
-            ).reshape(t.num_rows, self.m)
+            codes = _codes_matrix(t["code"], self.m)
             ids = t[self.id_col].to_numpy(zero_copy_only=False)
             cols = np.arange(self.m)
             for qi in range(len(self.lut)):
@@ -586,6 +646,10 @@ def pq_topk(
     scan (broadcast id set; at 10^10 rows the scan decodes vectors for
     the few thousand candidates, not the corpus) — recall approaches
     exact while the full-precision read stays O(R·k·queries)."""
+    if refine and vectors is None:
+        # fail fast — checking after the corpus-wide ADC scan would
+        # burn the whole distributed pass before raising
+        raise ValueError("refine > 0 requires the vectors dataset")
     shortlist = k * refine if refine else k
     ref = ray.put((np.ascontiguousarray(codebooks),
                    np.atleast_2d(np.asarray(queries, dtype=np.float32))))
@@ -607,8 +671,6 @@ def pq_topk(
         if len(by_q[int(r["query_id"])]) > shortlist:
             heapq.heappop(by_q[int(r["query_id"])])
     if refine:
-        if vectors is None:
-            raise ValueError("refine > 0 requires the vectors dataset")
         import pyarrow.compute as pc
 
         cand_ids = sorted({-nid for h in by_q.values() for _, nid in h})
@@ -674,17 +736,37 @@ class IvfPqIndex:
         import json
         import os
 
-        centroids = kmeans_fit_sample(
-            ds, n_clusters, vec_col=vec_col, iters=iters, seed=seed
+        # ONE bounded sample feeds BOTH quantizers (two limit().take_all()
+        # scans would read the corpus head twice); the coarse Lloyd uses
+        # the same matmul identity as the subspace fits — never an
+        # (n, k, d) broadcast tensor
+        sample = ds.limit(65536).take_all()
+        mat = np.stack([
+            np.asarray(r[vec_col], dtype=np.float32) for r in sample
+        ])
+        rng = np.random.default_rng(seed)
+        centroids = mat[rng.choice(
+            len(mat), size=min(n_clusters, len(mat)), replace=False
+        )].copy()
+        for _ in range(iters):
+            assign = np.argmin(
+                (centroids * centroids).sum(1)[None, :]
+                - 2.0 * (mat @ centroids.T), axis=1,
+            )
+            for j in range(len(centroids)):
+                sel = assign == j
+                if sel.any():
+                    centroids[j] = mat[sel].mean(axis=0)
+        books = pq_fit_matrix(
+            _normalize(mat), m=m, k=pq_k, iters=iters,
+            rng=np.random.default_rng(seed + 1),
         )
-        books = pq_fit(ds, vec_col=vec_col, m=m, k=pq_k, iters=iters,
-                       seed=seed + 1)
         ref = ray.put((np.ascontiguousarray(centroids),
                        np.ascontiguousarray(books)))
 
         def assign_encode(t: pa.Table) -> pa.Table:
             c, b = ray.get(ref)  # zero-copy plasma, cached per node
-            mm, k, dsub = b.shape
+            mm = b.shape[0]
             if t.num_rows == 0:
                 return pa.table({
                     id_col: t[id_col],
@@ -697,14 +779,7 @@ class IvfPqIndex:
             assign = np.argmin(
                 (c * c).sum(1)[None, :] - 2.0 * (x @ c.T), axis=1
             ).astype(np.int64)
-            xn = _normalize(x)
-            codes = np.empty((len(x), mm), dtype=np.uint8)
-            for s in range(mm):
-                xs = np.ascontiguousarray(xn[:, s * dsub:(s + 1) * dsub])
-                cb = b[s]
-                codes[:, s] = np.argmin(
-                    (cb * cb).sum(1)[None, :] - 2.0 * (xs @ cb.T), axis=1
-                ).astype(np.uint8)
+            codes = _encode_subspaces(_normalize(x), b)
             return pa.table({
                 id_col: t[id_col],
                 "code": pa.array([bytes(r) for r in codes], pa.binary(mm)),
@@ -739,22 +814,10 @@ class IvfPqIndex:
         )
 
     def _probed_paths(self, queries: np.ndarray, nprobe: int) -> list:
-        import glob
-        import os
-
-        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        order = np.argsort(
-            (self.centroids * self.centroids).sum(1)[None, :]
-            - 2.0 * (q @ self.centroids.T), axis=1,
-        )[:, :nprobe]
-        probe = sorted({int(c) for row in order for c in row})
-        return [
-            f
-            for c in probe
-            for f in sorted(glob.glob(os.path.join(
-                self.index_dir, f"cluster={c}", "*.parquet"
-            )))
-        ]
+        return _partition_paths(
+            self.index_dir,
+            _nearest_clusters(self.centroids, queries, nprobe),
+        )
 
     def search(
         self,
@@ -765,6 +828,8 @@ class IvfPqIndex:
         refine: int = 0,
     ) -> pd.DataFrame:
         paths = self._probed_paths(queries, nprobe)
+        if not paths:  # every probed centroid owns zero corpus rows
+            return _empty_topk(self.id_col)
         codes = ray.data.read_parquet(
             paths, columns=[self.id_col, "code"]  # m bytes/row scanned
         )

@@ -355,10 +355,10 @@ def test_scd2_matches_sequential_oracle(events, ray_session):
         "payload": pa.array([e[2] for e in events], pa.int64()),
         "deleted": pa.array([e[1] for e in events]),
     })
-    got = scd2_history(
+    out_ds = scd2_history(
         ray.data.from_arrow(t), key_cols="k", order_col="lsn",
         deleted_col="deleted", num_partitions=4,
-    ).to_pandas().sort_values("lsn").reset_index(drop=True)
+    )
     # sequential oracle
     open_row: dict = {}
     rows = []
@@ -373,6 +373,13 @@ def test_scd2_matches_sequential_oracle(events, ray_session):
         rows, columns=["lsn", "k", "payload", "valid_to"]
     )
     exp["is_current"] = exp["valid_to"].isna()
+    if not rows:
+        # all-deleted changelog: empty result; Ray 2.49 to_pandas()
+        # drops columns on ANY 0-row Dataset (schema pinned at
+        # Dataset.schema() — covered by TestReviewRegressions)
+        assert out_ds.count() == 0
+        return
+    got = out_ds.to_pandas().sort_values("lsn").reset_index(drop=True)
     got["valid_to"] = got["valid_to"].astype("float64")
     exp["valid_to"] = exp["valid_to"].astype("float64")
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes))
@@ -413,3 +420,62 @@ class TestIvfPq:
         idx2 = IvfPqIndex.load(str(tmp_path / "ivfpq"))
         got2 = idx2.search(q, k=10, nprobe=8, refine=4)
         pd.testing.assert_frame_equal(got, got2)
+
+
+class TestAnnReviewRegressions:
+    def test_pq_refine_fails_fast_before_scan(self, ray_session):
+        from plugin_debezium_ray.functions.ann import pq_topk
+
+        # empty codes dataset: the raise must happen at entry, before
+        # any distributed work is planned
+        empty = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "code": pa.array([], pa.binary(8)),
+        }))
+        with pytest.raises(ValueError, match="vectors"):
+            pq_topk(empty, np.zeros((8, 2, 8), np.float32),
+                    np.zeros(64, np.float32), k=5, refine=2)
+
+    def test_encode_rejects_wider_vectors(self, ray_session):
+        from plugin_debezium_ray.functions.ann import _encode_subspaces
+
+        books = np.zeros((8, 4, 8), np.float32)  # m*dsub = 64
+        with pytest.raises(ValueError, match="dim"):
+            _encode_subspaces(np.zeros((3, 128), np.float32), books)
+
+    def test_empty_probed_clusters_return_empty(self, ray_session,
+                                                tmp_path):
+        import pyarrow.parquet as pq_
+
+        from plugin_debezium_ray.functions.ann import IvfPqIndex
+
+        t = pq_.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        ).slice(0, 16)
+        idx = IvfPqIndex.build(
+            ray.data.from_arrow(t), str(tmp_path / "i"), n_clusters=4,
+            m=8, pq_k=16,
+        )
+        # point the probe at a centroid that owns no rows by searching
+        # with nprobe=1 from a far-away query; if every probed dir
+        # exists this still exercises the normal path — force the empty
+        # case directly instead
+        from plugin_debezium_ray.functions import ann as _ann
+
+        assert _ann._partition_paths(str(tmp_path / "i"), [999]) == []
+        out = idx.search(
+            np.asarray(t["embedding"][0].as_py(), np.float32),
+            k=5, nprobe=1,
+        )
+        assert set(out.columns) == {"query_id", "vec_id", "score", "rank"}
+
+    def test_codes_matrix_zero_copy_roundtrip(self, ray_session):
+        from plugin_debezium_ray.functions.ann import _codes_matrix
+
+        rows = [bytes([i, i + 1, i + 2, i + 3]) for i in range(0, 40, 4)]
+        arr = pa.array(rows, pa.binary(4))
+        m = _codes_matrix(arr.slice(2, 5), 4)  # sliced: offset path
+        assert m.shape == (5, 4)
+        assert bytes(m[0]) == rows[2]
+        assert bytes(m[-1]) == rows[6]
