@@ -1463,10 +1463,8 @@ def q_window_join_events(sf_dir: str):
     same user's events in the preceding 5 minutes (inclusive).  Both
     sides are the corpus-scale event stream — one key co-partition
     shuffle, per-partition batched binary searches (functions/joins.py:
-    window_join).  Registered beyond the driver's ~50-entry oracle
-    window (which is full): correctness is pinned by the DuckDB
-    band-join parity suite in tests/test_window_join.py, which runs
-    the identical SQL shape."""
+    window_join).  Oracle: the DuckDB band join in oracle_sql(); the
+    same SQL shape is also pinned by tests/test_window_join.py."""
     import pyarrow.compute as _pc
 
     from plugin_debezium_ray.functions.joins import window_join
@@ -1667,7 +1665,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
+        # window_join_events is NEW in round 5 and never driver-
+        # verified, so it takes the window slot of text_fingerprint
+        # (hash-green in BOTH r3 and r4, now in the tail)
+        "window_join_events": q_window_join_events,
         "text_bpe_tokens": q_text_bpe_tokens,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
@@ -1692,10 +1693,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned with an r4 driver row)
         "dedup_semantic": q_dedup_semantic,
         "agg_approx_distinct": q_agg_approx_distinct,
-        # window_join is oracle-EXPRESSIBLE but the 50-entry window is
-        # full: the identical band-join SQL runs as a DuckDB parity
-        # pytest instead (tests/test_window_join.py)
-        "window_join_events": q_window_join_events,
+        # text_fingerprint ceded its window slot to the never-verified
+        # window_join_events; it stays oracle-registered (the local gate
+        # still value-checks it) and was driver-hash-green in r3 AND r4
+        "text_fingerprint": q_text_fingerprint,
         "dedup_incremental": q_dedup_incremental,
         "profile_events": q_profile_events,
         "ann_pq": q_ann_pq,
@@ -1989,6 +1990,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents
+        """,
+        "window_join_events": """
+            SELECT a.event_id, a.user_id, a.ts,
+                   b.event_id AS near_id, b.event_type AS near_type
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts BETWEEN a.ts - INTERVAL 300 SECOND AND a.ts
+            WHERE a.event_type = 'error'
         """,
         "text_bpe_tokens": """
             SELECT doc_id,
