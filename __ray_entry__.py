@@ -1208,6 +1208,27 @@ def q_dedup_semantic(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_dedup_substring(sf_dir: str):
+    """Corpus-wide exact substring duplication (ExactSubstr-style,
+    Lee et al. 2022): every word-12-gram occurring at ≥ 2 positions
+    across the whole corpus marks its positions; marked positions merge
+    into maximal covered token runs per document.  Two passes — a
+    coarse-partition gram-count groupby (only 24-byte hash rows ride
+    the shuffle), then a broadcast two-lane membership probe
+    (functions/substring.py:find_duplicate_spans)."""
+    from plugin_debezium_ray.functions.substring import (
+        find_duplicate_spans,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return find_duplicate_spans(
+        docs, id_col="doc_id", text_col="text", k=12, min_count=2,
+    )
+
+
 def q_sample_fixed_per_group(sf_dir: str):
     """Exactly-n-per-group deterministic sampling: rank each language's
     docs by hash(doc_id) (a stable pseudo-random order) and keep the
@@ -1663,7 +1684,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "corpus_shuffle": q_corpus_shuffle,
         "decontaminate": q_decontaminate,
-        "text_token_count": q_text_token_count,
+        # dedup_substring is NEW in round 5 and never driver-verified,
+        # so it takes the window slot of text_token_count (hash-green
+        # in BOTH r3 and r4, now in the tail)
+        "dedup_substring": q_dedup_substring,
         "text_quality": q_text_quality,
         # window_join_events is NEW in round 5 and never driver-
         # verified, so it takes the window slot of text_fingerprint
@@ -1693,10 +1717,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned with an r4 driver row)
         "dedup_semantic": q_dedup_semantic,
         "agg_approx_distinct": q_agg_approx_distinct,
-        # text_fingerprint ceded its window slot to the never-verified
-        # window_join_events; it stays oracle-registered (the local gate
-        # still value-checks it) and was driver-hash-green in r3 AND r4
+        # text_fingerprint / text_token_count ceded their window slots
+        # to the never-verified window_join_events / dedup_substring;
+        # both stay oracle-registered (the local gate still value-
+        # checks them) and were driver-hash-green in r3 AND r4
         "text_fingerprint": q_text_fingerprint,
+        "text_token_count": q_text_token_count,
         "dedup_incremental": q_dedup_incremental,
         "profile_events": q_profile_events,
         "ann_pq": q_ann_pq,
@@ -1990,6 +2016,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents
+        """,
+        "dedup_substring": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ), g AS (
+              SELECT doc_id, i, array_to_string(a[i:i+11], ' ') AS gram
+              FROM w, LATERAL unnest(range(1, len(a) - 10)) AS t(i)
+              WHERE len(a) >= 12
+            ), d AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ), m AS (
+              SELECT g.doc_id, g.i FROM g JOIN d USING (gram)
+            ), isl AS (
+              SELECT doc_id, i,
+                     CASE WHEN i - lag(i) OVER (PARTITION BY doc_id
+                                                ORDER BY i) <= 12
+                          THEN 0 ELSE 1 END AS brk
+              FROM m
+            ), grp AS (
+              SELECT doc_id, i,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS s
+              FROM isl
+            ), sp AS (
+              SELECT doc_id, s, min(i) AS st, max(i) + 11 AS en,
+                     count(*) AS npos
+              FROM grp GROUP BY doc_id, s
+            )
+            SELECT doc_id,
+                   CAST(sum(npos) AS BIGINT) AS n_dup_positions,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(en - st + 1) AS BIGINT) AS n_tokens_dup
+            FROM sp GROUP BY doc_id
         """,
         "window_join_events": """
             SELECT a.event_id, a.user_id, a.ts,

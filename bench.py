@@ -295,6 +295,7 @@ def _suite(sf_dir: str) -> dict[str, float]:
         "window_join_events",
         "dedup_incremental",
         "profile_events",
+        "dedup_substring",
     ]
     import ray.data as _rd
 

@@ -1,0 +1,374 @@
+"""Corpus-wide exact substring duplication (ExactSubstr-style).
+
+Doc-level dedup (``exact_dedup``/MinHash/SimHash) misses the other
+failure mode of web corpora: boilerplate, licence headers and quoted
+passages repeated VERBATIM inside otherwise-distinct documents.  This
+module finds every word-``k``-gram that occurs at ≥ ``min_count``
+positions across the ENTIRE corpus and reports (or removes) the merged
+duplicated token spans per document — the distributed counterpart of
+the single-machine suffix-array dedup of Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better"): the
+suffix array is replaced by a k-gram fingerprint exchange, which is
+the shape that survives 100 TB (a suffix array needs the corpus in one
+address space; a fingerprint groupby streams).
+
+Two passes over the corpus, both shuffle-light:
+
+1. **Count**: per batch, roll two independent 64-bit hash lanes over
+   every k-gram POSITION (the rolled splitmix64 scheme shared with
+   ``decontaminate``; O(k) vector ops per batch), pre-combine repeats
+   within the batch, then ONE coarse-partition groupby (the
+   ``exact_dedup`` idiom — group count = ``num_partitions``, never one
+   group per gram) sums counts and keeps pairs with total ≥
+   ``min_count``.  Only 24-byte (h0, h1, n) rows ride the shuffle —
+   never text.
+2. **Mark**: the surviving duplicated-gram pairs are fetched to the
+   driver under an explicit raising bound (``dup_max_grams``, the
+   ``small_max_rows`` contract), broadcast once via ``ray.put``, and a
+   stateless cached-probe ``map_batches`` pass re-rolls each document's
+   gram hashes and marks positions by vectorized two-lane membership
+   (``selection.two_lane_hits``: searchsorted on lane 0, confirm lane
+   1 — a wrong mark needs a simultaneous 128-bit collision).  Marked
+   positions merge into maximal covered token runs per document
+   entirely in numpy (all intervals have length k, so two positions
+   p1 < p2 merge iff ``p2 - p1 <= k``).
+
+The two corpus scans are inherent to the exact two-pass algorithm
+(count first, mark second); each is a shuffle-free streaming pass.
+
+Reference parity: no counterpart in kestra-io/plugin-debezium — part
+of the training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+import ray
+
+from plugin_debezium_ray.functions.selection import _word_re, two_lane_hits
+
+_SUB_HASH_KEY = "substring-lane-1"  # 16 bytes — the second hash lane
+
+
+def _positional_gram_lanes(
+    texts: "list[str | None]", k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """EVERY word-k-gram position of the batch, two independent 64-bit
+    hash lanes: returns (doc_index, position, h0, h1), doc-major with
+    positions ascending within each doc (0-based token index).
+
+    The positional sibling of ``selection._doc_gram_lanes`` (which
+    dedups grams per doc for set-overlap semantics — here every
+    OCCURRENCE counts, including repeats inside one document, so
+    within-doc boilerplate is found too).  Tokenization mirrors the SQL
+    oracle: lowercase, ``\\S+`` runs; docs with < k tokens contribute
+    nothing."""
+    from plugin_debezium_ray.sources.rand import splitmix64
+
+    tokens: list[str] = []
+    rows: list[int] = []
+    tok_counts: list[int] = []
+    wre = _word_re()
+    for i, tx in enumerate(texts):
+        if tx is None:
+            continue
+        toks = wre.findall(tx.lower())
+        if len(toks) < k:
+            continue
+        tokens.extend(toks)
+        rows.append(i)
+        tok_counts.append(len(toks))
+    if not rows:
+        e = np.empty(0, dtype=np.uint64)
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), e, e.copy()
+    obj = np.array(tokens, dtype=object)
+    th0 = pd.util.hash_array(obj)
+    th1 = pd.util.hash_array(obj, hash_key=_SUB_HASH_KEY)
+
+    tc = np.asarray(tok_counts, dtype=np.int64)
+    gcounts = tc - k + 1  # ≥ 1 by the len(toks) >= k filter above
+    toff = np.concatenate([[0], np.cumsum(tc)[:-1]])
+    goff = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
+    total = int(gcounts.sum())
+    # gram j of doc d starts at token toff[d] + j — segmented arange
+    local = np.arange(total, dtype=np.int64) - np.repeat(goff, gcounts)
+    gpos = np.repeat(toff, gcounts) + local
+    # mix the FIRST token before rolling (the _doc_gram_lanes
+    # swap-symmetry fix: raw-start would collide "a b …" with "b a …")
+    h0 = splitmix64(th0[gpos])
+    h1 = splitmix64(th1[gpos])
+    for j in range(1, k):
+        h0 = splitmix64(h0 ^ th0[gpos + j])
+        h1 = splitmix64(h1 ^ th1[gpos + j])
+    doc_idx = np.repeat(np.asarray(rows, dtype=np.int64), gcounts)
+    return doc_idx, local, h0, h1
+
+
+def duplicated_grams(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    k: int = 12,
+    min_count: int = 2,
+    num_partitions: int = 64,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Pass 1: Dataset of (h0, h1) hash pairs of every k-gram occurring
+    at ≥ ``min_count`` positions corpus-wide.  Per-batch pre-combine →
+    one coarse-partition groupby → weighted per-partition count (pure
+    numpy segmented reduce — no per-gram pandas groups).
+
+    ``batch_size`` matters twice: bigger batches pre-combine more
+    repeated grams before the shuffle AND produce fewer shuffle input
+    blocks (the sort-based groupby's task count tracks block count —
+    default-sized 1k-row batches measured 6.7 s of pure scheduling on
+    a 215k-gram corpus vs ~1 s at 4096)."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+
+    def gram_counts(t: pa.Table) -> pa.Table:
+        _, _, h0, h1 = _positional_gram_lanes(t[text_col].to_pylist(), k)
+        if len(h0) == 0:
+            return pa.table({
+                "h0": pa.array([], pa.uint64()),
+                "h1": pa.array([], pa.uint64()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int32()),
+            })
+        order = np.lexsort((h1, h0))
+        s0, s1 = h0[order], h1[order]
+        head = np.empty(len(s0), dtype=bool)
+        head[0] = True
+        head[1:] = (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])
+        idx = np.flatnonzero(head)
+        n = np.diff(np.append(idx, len(s0)))
+        u0, u1 = s0[idx], s1[idx]
+        part = (u0 % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            "h0": pa.array(u0), "h1": pa.array(u1),
+            "n": pa.array(n.astype(np.int64)), "_part": pa.array(part),
+        })
+
+    def keep_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "h0": pd.array([], dtype=np.uint64),
+                "h1": pd.array([], dtype=np.uint64),
+            })
+        h0 = g["h0"].to_numpy()
+        h1 = g["h1"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((h1, h0))
+        s0, s1, sn = h0[order], h1[order], n[order]
+        head = np.empty(len(s0), dtype=bool)
+        head[0] = True
+        head[1:] = (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])
+        idx = np.flatnonzero(head)
+        tot = np.add.reduceat(sn, idx)
+        keep = tot >= min_count
+        return pd.DataFrame({"h0": s0[idx][keep], "h1": s1[idx][keep]})
+
+    return (
+        ds.map_batches(gram_counts, batch_format="pyarrow",
+                       batch_size=batch_size)
+        .groupby("_part")
+        .map_groups(keep_dups, batch_format="pandas")
+    )
+
+
+class _SpanProbe:
+    """Per-worker-cached pass-2 probe: the broadcast duplicated-gram
+    lanes are fetched once per worker; each batch re-rolls its gram
+    hashes, marks positions by two-lane membership and folds marked
+    positions into merged spans with segmented numpy reductions."""
+
+    def __init__(self, dup_ref, *, k: int, id_col: str, text_col: str,
+                 mode: str):
+        self.b0, self.b1 = ray.get(dup_ref)
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+        self.mode = mode
+
+    def _marks(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        di, pos, h0, h1 = _positional_gram_lanes(texts, self.k)
+        if len(h0) == 0 or len(self.b0) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy()
+        hit = two_lane_hits(self.b0, self.b1, h0, h1)
+        return di[hit], pos[hit]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "stats":
+            return self._stats(t)
+        return self._strip(t)
+
+    def _stats(self, t: pa.Table) -> pa.Table:
+        ids_type = t.schema.field(self.id_col).type
+        di, pos = self._marks(t[self.text_col].to_pylist())
+        if len(di) == 0:
+            return pa.table({
+                self.id_col: pa.array([], ids_type),
+                "n_dup_positions": pa.array([], pa.int64()),
+                "n_spans": pa.array([], pa.int64()),
+                "n_tokens_dup": pa.array([], pa.int64()),
+            })
+        k = self.k
+        # (di, pos) is doc-major, pos ascending — span break where the
+        # gap exceeds k (equal-length intervals: p2 merges iff
+        # p2 <= p1 + k, i.e. coverage [p1, p1+k-1] ∪ [p2, p2+k-1] is
+        # one contiguous token run)
+        newdoc = np.empty(len(di), dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = di[1:] != di[:-1]
+        brk = newdoc.copy()
+        brk[1:] |= (pos[1:] - pos[:-1]) > k
+        heads = np.flatnonzero(brk)
+        tails = np.append(heads[1:], len(di)) - 1
+        span_tokens = pos[tails] - pos[heads] + k  # (e - s + 1), e=p+k-1
+        span_doc = di[heads]
+        dheads = np.flatnonzero(newdoc)
+        n_positions = np.diff(np.append(dheads, len(di)))
+        sd_new = np.empty(len(heads), dtype=bool)
+        sd_new[0] = True
+        sd_new[1:] = span_doc[1:] != span_doc[:-1]
+        sdh = np.flatnonzero(sd_new)
+        n_spans = np.diff(np.append(sdh, len(heads)))
+        n_tok = np.add.reduceat(span_tokens, sdh)
+        doc_rows = di[dheads]
+        ids = t[self.id_col].take(pa.array(doc_rows, pa.int64()))
+        return pa.table({
+            self.id_col: ids,
+            "n_dup_positions": pa.array(n_positions.astype(np.int64)),
+            "n_spans": pa.array(n_spans.astype(np.int64)),
+            "n_tokens_dup": pa.array(n_tok.astype(np.int64)),
+        })
+
+    def _strip(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        di, pos = self._marks(texts)
+        if len(di) == 0:
+            return t
+        k = self.k
+        col = list(texts)
+        # group marked positions per doc (doc-major order)
+        dheads = np.flatnonzero(
+            np.concatenate([[True], di[1:] != di[:-1]])
+        )
+        bounds = np.append(dheads, len(di))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            row = int(di[a])
+            toks = col[row].split()
+            covered = np.zeros(len(toks), dtype=bool)
+            for p in pos[a:b]:
+                covered[p:p + k] = True
+            col[row] = " ".join(
+                tok for tok, c in zip(toks, covered) if not c
+            )
+        idx = t.column_names.index(self.text_col)
+        return t.set_column(idx, self.text_col, pa.array(col, pa.string()))
+
+
+def find_duplicate_spans(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    min_count: int = 2,
+    num_partitions: int = 64,
+    dup_max_grams: int = 4_000_000,
+    batch_size: int = 4096,
+    mode: str = "stats",
+) -> "ray.data.Dataset":
+    """Corpus-wide duplicated-span report or removal (module docstring
+    has the full two-pass shape).
+
+    ``mode="stats"`` → one row per document that contains ≥ 1
+    duplicated k-gram: ``(id_col, n_dup_positions, n_spans,
+    n_tokens_dup)`` where spans are maximal merged covered token runs.
+    ``mode="strip"`` → the input rows with every duplicated span
+    removed from ``text_col`` (surviving tokens joined with single
+    spaces — canonical-whitespace output, the corpus-prep convention;
+    tokens come from ``str.split()``, which equals the ``\\S+``
+    tokenization).  Removal is the aggressive ExactSubstr variant: ALL
+    occurrences of a duplicated span are dropped, not all-but-one —
+    keep-one needs a global occurrence ranking that costs a second
+    shuffle and is rarely what corpus prep wants.
+
+    ``dup_max_grams`` bounds the broadcast dup-gram table and RAISES
+    when exceeded (the ``small_max_rows`` contract): 4M pairs ≈ 64 MB.
+    Partitioning assumption: one coarse hash partition of pass 1 must
+    fit a task — raise ``num_partitions`` with the corpus."""
+    if mode not in ("stats", "strip"):
+        raise ValueError(f"mode must be 'stats' or 'strip', got {mode!r}")
+    from plugin_debezium_ray.smallfetch import fetch_small_table
+
+    # resolve the output schema eagerly: Ray 2.49 forwards schema-less
+    # empty blocks around the UDF, so an all-empty result would lose
+    # its columns without a typed seed union (dedup_against_index's
+    # empty_out pattern)
+    in_schema = ds.schema()
+    if mode == "stats":
+        id_type = dict(zip(in_schema.names, in_schema.types))[id_col]
+        seed = pa.table({
+            id_col: pa.array([], id_type),
+            "n_dup_positions": pa.array([], pa.int64()),
+            "n_spans": pa.array([], pa.int64()),
+            "n_tokens_dup": pa.array([], pa.int64()),
+        })
+    else:
+        seed = pa.table({
+            n: pa.array([], t)
+            for n, t in zip(in_schema.names, in_schema.types)
+        })
+
+    dups = duplicated_grams(
+        ds, text_col=text_col, k=k, min_count=min_count,
+        num_partitions=num_partitions, batch_size=batch_size,
+    ).materialize()
+    n_dups = dups.count()
+    if n_dups > dup_max_grams:
+        raise ValueError(
+            f"{n_dups} duplicated grams exceed dup_max_grams="
+            f"{dup_max_grams}; raise the bound (64 MB per 4M pairs) or "
+            f"raise k/min_count to shrink the dup set"
+        )
+    if n_dups == 0:
+        # short-circuit: no duplicated gram exists, so no doc can have
+        # a span — return the typed contract directly (also sidesteps
+        # Ray 2.49 forwarding schema-less input empties around the
+        # probe, which would leave an all-empty result column-less)
+        return ds if mode == "strip" else ray.data.from_arrow(seed)
+    t = fetch_small_table(dups)
+    h0 = t["h0"].to_numpy(zero_copy_only=False)
+    h1 = t["h1"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((h1, h0))
+    payload = (
+        np.ascontiguousarray(h0[order]),
+        np.ascontiguousarray(h1[order]),
+    )
+    dup_ref = ray.put(payload)
+
+    kwargs = {"k": k, "id_col": id_col, "text_col": text_col,
+              "mode": mode}
+    from plugin_debezium_ray.functions.joins import _cached_probe
+
+    def probe(t: pa.Table) -> pa.Table:
+        return _cached_probe(
+            t, cls=_SpanProbe, small_ref=dup_ref,
+            params=(k, id_col, text_col, mode), kwargs=kwargs,
+        )
+
+    out = ds.map_batches(probe, batch_format="pyarrow",
+                         batch_size=batch_size)
+    return out.union(ray.data.from_arrow(seed))
