@@ -207,22 +207,25 @@ def threshold_sample(
 _DECON_HASH_KEY = "decontaminate-l1"  # 16 bytes — second independent lane
 
 
-def _doc_gram_lanes(
-    texts: "list[str | None]", k: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-batch DISTINCT word-k-grams, two independent 64-bit hash
-    lanes: returns (doc_index_repeat, h0, h1).  Tokenization mirrors the
-    SQL oracle (lowercase, split on whitespace runs); docs with < k
-    words contribute nothing.
+def positional_gram_lanes(
+    texts: "list[str | None]", k: int, *, hash_key: str = _DECON_HASH_KEY
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """EVERY word-k-gram occurrence of the batch, two independent
+    64-bit hash lanes: returns (doc_index, position, h0, h1), doc-major
+    with 0-based token positions ascending within each doc.
+    Tokenization mirrors the SQL oracles (lowercase, split on
+    whitespace runs); docs with < k words contribute nothing.
 
     Vectorized like ``dedup._batch_shingles``: every TOKEN of the batch
     is hashed in two ``pd.util.hash_array`` calls (two independent
     SipHash keys — true 128-bit lanes), then k-gram hashes are ROLLED
     over the token-hash arrays with splitmix64 (O(k) vector ops per
-    batch) instead of materializing per-doc gram-string sets.  Both the
-    benchmark and corpus sides go through this same function, so
-    membership is preserved: equal gram word-sequences hash equal,
-    unequal ones collide only at 2⁻¹²⁸ scale."""
+    batch) instead of materializing per-position gram-string sets.
+    Equal gram word-sequences hash equal, unequal ones collide only at
+    2⁻¹²⁸ scale.  The shared core of ``_doc_gram_lanes``
+    (decontaminate — distinct grams per doc) and
+    ``substring._positional_gram_lanes`` (exact substring dedup — all
+    occurrences); ``hash_key`` selects the op's lane-1 key."""
     from plugin_debezium_ray.sources.rand import splitmix64
 
     tokens: list[str] = []
@@ -240,10 +243,11 @@ def _doc_gram_lanes(
         tok_counts.append(len(toks))
     if not rows:
         e = np.empty(0, dtype=np.uint64)
-        return np.empty(0, dtype=np.int64), e, e
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), e, e.copy()
     obj = np.array(tokens, dtype=object)
     th0 = pd.util.hash_array(obj)
-    th1 = pd.util.hash_array(obj, hash_key=_DECON_HASH_KEY)
+    th1 = pd.util.hash_array(obj, hash_key=hash_key)
 
     tc = np.asarray(tok_counts, dtype=np.int64)
     gcounts = tc - k + 1  # ≥ 1 by the len(toks) >= k filter above
@@ -251,9 +255,8 @@ def _doc_gram_lanes(
     goff = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
     total = int(gcounts.sum())
     # gram j of doc d starts at token toff[d] + j — segmented arange
-    gpos = np.repeat(toff, gcounts) + (
-        np.arange(total, dtype=np.int64) - np.repeat(goff, gcounts)
-    )
+    local = np.arange(total, dtype=np.int64) - np.repeat(goff, gcounts)
+    gpos = np.repeat(toff, gcounts) + local
     # mix the FIRST token before rolling: starting from the raw token
     # hash would make step one sm64(t1 ^ t2) — symmetric in the first
     # two tokens, so "a b c d e" and "b a c d e" would collide in BOTH
@@ -264,6 +267,19 @@ def _doc_gram_lanes(
         h0 = splitmix64(h0 ^ th0[gpos + j])
         h1 = splitmix64(h1 ^ th1[gpos + j])
     doc_idx = np.repeat(np.asarray(rows, dtype=np.int64), gcounts)
+    return doc_idx, local, h0, h1
+
+
+def _doc_gram_lanes(
+    texts: "list[str | None]", k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch DISTINCT word-k-grams, two independent 64-bit hash
+    lanes: returns (doc_index_repeat, h0, h1) — the set-overlap view of
+    ``positional_gram_lanes`` (decontamination counts distinct shared
+    grams, not occurrences)."""
+    doc_idx, _, h0, h1 = positional_gram_lanes(texts, k)
+    if len(h0) == 0:
+        return doc_idx, h0, h1
 
     # DISTINCT grams per doc (overlap counting is set-based): lexsort by
     # (doc, h0, h1), keep run heads

@@ -53,7 +53,9 @@ if TYPE_CHECKING:  # pragma: no cover
 
 import ray
 
-from plugin_debezium_ray.functions.selection import _word_re, two_lane_hits
+from plugin_debezium_ray.functions.selection import (
+    positional_gram_lanes, two_lane_hits,
+)
 
 _SUB_HASH_KEY = "substring-lane-1"  # 16 bytes — the second hash lane
 
@@ -61,56 +63,49 @@ _SUB_HASH_KEY = "substring-lane-1"  # 16 bytes — the second hash lane
 def _positional_gram_lanes(
     texts: "list[str | None]", k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """EVERY word-k-gram position of the batch, two independent 64-bit
-    hash lanes: returns (doc_index, position, h0, h1), doc-major with
-    positions ascending within each doc (0-based token index).
+    """EVERY word-k-gram position of the batch — the shared rolled
+    two-lane core (``selection.positional_gram_lanes``) under this
+    op's own lane-1 key.  Here every OCCURRENCE counts, including
+    repeats inside one document, so within-doc boilerplate is found
+    too (decontaminate's ``_doc_gram_lanes`` dedups instead)."""
+    return positional_gram_lanes(texts, k, hash_key=_SUB_HASH_KEY)
 
-    The positional sibling of ``selection._doc_gram_lanes`` (which
-    dedups grams per doc for set-overlap semantics — here every
-    OCCURRENCE counts, including repeats inside one document, so
-    within-doc boilerplate is found too).  Tokenization mirrors the SQL
-    oracle: lowercase, ``\\S+`` runs; docs with < k tokens contribute
-    nothing."""
-    from plugin_debezium_ray.sources.rand import splitmix64
 
-    tokens: list[str] = []
-    rows: list[int] = []
-    tok_counts: list[int] = []
-    wre = _word_re()
-    for i, tx in enumerate(texts):
-        if tx is None:
-            continue
-        toks = wre.findall(tx.lower())
-        if len(toks) < k:
-            continue
-        tokens.extend(toks)
-        rows.append(i)
-        tok_counts.append(len(toks))
-    if not rows:
-        e = np.empty(0, dtype=np.uint64)
-        z = np.empty(0, dtype=np.int64)
-        return z, z.copy(), e, e.copy()
-    obj = np.array(tokens, dtype=object)
-    th0 = pd.util.hash_array(obj)
-    th1 = pd.util.hash_array(obj, hash_key=_SUB_HASH_KEY)
+def _unique_pairs(
+    h0: np.ndarray, h1: np.ndarray, weights: "np.ndarray | None" = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct (h0, h1) pairs in (h0, h1)-sorted order plus each
+    pair's occurrence count (or ``weights`` sum) — the run-head
+    segmented reduction shared by both count stages."""
+    order = np.lexsort((h1, h0))
+    s0, s1 = h0[order], h1[order]
+    head = np.empty(len(s0), dtype=bool)
+    head[0] = True
+    head[1:] = (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])
+    idx = np.flatnonzero(head)
+    if weights is None:
+        tot = np.diff(np.append(idx, len(s0)))
+    else:
+        tot = np.add.reduceat(weights[order], idx)
+    return s0[idx], s1[idx], tot
 
-    tc = np.asarray(tok_counts, dtype=np.int64)
-    gcounts = tc - k + 1  # ≥ 1 by the len(toks) >= k filter above
-    toff = np.concatenate([[0], np.cumsum(tc)[:-1]])
-    goff = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
-    total = int(gcounts.sum())
-    # gram j of doc d starts at token toff[d] + j — segmented arange
-    local = np.arange(total, dtype=np.int64) - np.repeat(goff, gcounts)
-    gpos = np.repeat(toff, gcounts) + local
-    # mix the FIRST token before rolling (the _doc_gram_lanes
-    # swap-symmetry fix: raw-start would collide "a b …" with "b a …")
-    h0 = splitmix64(th0[gpos])
-    h1 = splitmix64(th1[gpos])
-    for j in range(1, k):
-        h0 = splitmix64(h0 ^ th0[gpos + j])
-        h1 = splitmix64(h1 ^ th1[gpos + j])
-    doc_idx = np.repeat(np.asarray(rows, dtype=np.int64), gcounts)
-    return doc_idx, local, h0, h1
+
+def _merged_spans(
+    di: np.ndarray, pos: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge marked gram positions (doc-major, ascending) into maximal
+    covered token runs: returns (span_doc, start, end) with end
+    INCLUSIVE.  All intervals have length k, so p2 merges into p1's
+    span iff ``p2 - p1 <= k`` (coverage [p1, p1+k-1] ∪ [p2, p2+k-1] is
+    one contiguous run)."""
+    newdoc = np.empty(len(di), dtype=bool)
+    newdoc[0] = True
+    newdoc[1:] = di[1:] != di[:-1]
+    brk = newdoc.copy()
+    brk[1:] |= (pos[1:] - pos[:-1]) > k
+    heads = np.flatnonzero(brk)
+    tails = np.append(heads[1:], len(di)) - 1
+    return di[heads], pos[heads], pos[tails] + k - 1
 
 
 def duplicated_grams(
@@ -134,6 +129,10 @@ def duplicated_grams(
     a 215k-gram corpus vs ~1 s at 4096)."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if k < 1:
+        # fail fast at the driver — k<=0 would otherwise surface as an
+        # opaque IndexError inside a Ray map task mid-job
+        raise ValueError(f"k must be >= 1, got {k}")
 
     def gram_counts(t: pa.Table) -> pa.Table:
         _, _, h0, h1 = _positional_gram_lanes(t[text_col].to_pylist(), k)
@@ -144,14 +143,7 @@ def duplicated_grams(
                 "n": pa.array([], pa.int64()),
                 "_part": pa.array([], pa.int32()),
             })
-        order = np.lexsort((h1, h0))
-        s0, s1 = h0[order], h1[order]
-        head = np.empty(len(s0), dtype=bool)
-        head[0] = True
-        head[1:] = (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])
-        idx = np.flatnonzero(head)
-        n = np.diff(np.append(idx, len(s0)))
-        u0, u1 = s0[idx], s1[idx]
+        u0, u1, n = _unique_pairs(h0, h1)
         part = (u0 % np.uint64(num_partitions)).astype(np.int32)
         return pa.table({
             "h0": pa.array(u0), "h1": pa.array(u1),
@@ -164,18 +156,11 @@ def duplicated_grams(
                 "h0": pd.array([], dtype=np.uint64),
                 "h1": pd.array([], dtype=np.uint64),
             })
-        h0 = g["h0"].to_numpy()
-        h1 = g["h1"].to_numpy()
-        n = g["n"].to_numpy()
-        order = np.lexsort((h1, h0))
-        s0, s1, sn = h0[order], h1[order], n[order]
-        head = np.empty(len(s0), dtype=bool)
-        head[0] = True
-        head[1:] = (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])
-        idx = np.flatnonzero(head)
-        tot = np.add.reduceat(sn, idx)
+        u0, u1, tot = _unique_pairs(
+            g["h0"].to_numpy(), g["h1"].to_numpy(), g["n"].to_numpy()
+        )
         keep = tot >= min_count
-        return pd.DataFrame({"h0": s0[idx][keep], "h1": s1[idx][keep]})
+        return pd.DataFrame({"h0": u0[keep], "h1": u1[keep]})
 
     return (
         ds.map_batches(gram_counts, batch_format="pyarrow",
@@ -222,27 +207,18 @@ class _SpanProbe:
                 "n_spans": pa.array([], pa.int64()),
                 "n_tokens_dup": pa.array([], pa.int64()),
             })
-        k = self.k
-        # (di, pos) is doc-major, pos ascending — span break where the
-        # gap exceeds k (equal-length intervals: p2 merges iff
-        # p2 <= p1 + k, i.e. coverage [p1, p1+k-1] ∪ [p2, p2+k-1] is
-        # one contiguous token run)
+        span_doc, starts, ends = _merged_spans(di, pos, self.k)
+        span_tokens = ends - starts + 1
         newdoc = np.empty(len(di), dtype=bool)
         newdoc[0] = True
         newdoc[1:] = di[1:] != di[:-1]
-        brk = newdoc.copy()
-        brk[1:] |= (pos[1:] - pos[:-1]) > k
-        heads = np.flatnonzero(brk)
-        tails = np.append(heads[1:], len(di)) - 1
-        span_tokens = pos[tails] - pos[heads] + k  # (e - s + 1), e=p+k-1
-        span_doc = di[heads]
         dheads = np.flatnonzero(newdoc)
         n_positions = np.diff(np.append(dheads, len(di)))
-        sd_new = np.empty(len(heads), dtype=bool)
+        sd_new = np.empty(len(span_doc), dtype=bool)
         sd_new[0] = True
         sd_new[1:] = span_doc[1:] != span_doc[:-1]
         sdh = np.flatnonzero(sd_new)
-        n_spans = np.diff(np.append(sdh, len(heads)))
+        n_spans = np.diff(np.append(sdh, len(span_doc)))
         n_tok = np.add.reduceat(span_tokens, sdh)
         doc_rows = di[dheads]
         ids = t[self.id_col].take(pa.array(doc_rows, pa.int64()))
@@ -258,24 +234,31 @@ class _SpanProbe:
         di, pos = self._marks(texts)
         if len(di) == 0:
             return t
-        k = self.k
         col = list(texts)
-        # group marked positions per doc (doc-major order)
+        # merged spans first — one slice write per SPAN, not per marked
+        # position (a duplicated L-token passage has L-k+1 positions
+        # but only one span; boilerplate-heavy docs are the hot case)
+        span_doc, starts, ends = _merged_spans(di, pos, self.k)
         dheads = np.flatnonzero(
-            np.concatenate([[True], di[1:] != di[:-1]])
+            np.concatenate([[True], span_doc[1:] != span_doc[:-1]])
         )
-        bounds = np.append(dheads, len(di))
+        bounds = np.append(dheads, len(span_doc))
         for a, b in zip(bounds[:-1], bounds[1:]):
-            row = int(di[a])
+            row = int(span_doc[a])
             toks = col[row].split()
             covered = np.zeros(len(toks), dtype=bool)
-            for p in pos[a:b]:
-                covered[p:p + k] = True
+            for s, e in zip(starts[a:b], ends[a:b]):
+                covered[s:e + 1] = True
             col[row] = " ".join(
                 tok for tok, c in zip(toks, covered) if not c
             )
         idx = t.column_names.index(self.text_col)
-        return t.set_column(idx, self.text_col, pa.array(col, pa.string()))
+        # keep the INPUT column type (string vs large_string): mixed
+        # block schemas in one stream confuse downstream unify steps
+        return t.set_column(
+            idx, self.text_col,
+            pa.array(col, t.schema.field(self.text_col).type),
+        )
 
 
 def find_duplicate_spans(
@@ -308,7 +291,10 @@ def find_duplicate_spans(
     ``dup_max_grams`` bounds the broadcast dup-gram table and RAISES
     when exceeded (the ``small_max_rows`` contract): 4M pairs ≈ 64 MB.
     Partitioning assumption: one coarse hash partition of pass 1 must
-    fit a task — raise ``num_partitions`` with the corpus."""
+    fit a task — raise ``num_partitions`` with the corpus.  The input
+    schema is resolved eagerly (for the typed empty-result seed) —
+    materialize a lazy input whose upstream is expensive first, the
+    ``window_join`` contract."""
     if mode not in ("stats", "strip"):
         raise ValueError(f"mode must be 'stats' or 'strip', got {mode!r}")
     from plugin_debezium_ray.smallfetch import fetch_small_table

@@ -136,6 +136,8 @@ class TestDuplicateSpanStats:
             _run(docs, 3, 1)
         with pytest.raises(ValueError, match="mode"):
             _run(docs, 3, 2, mode="bogus")
+        with pytest.raises(ValueError, match="k must be"):
+            _run(docs, 0, 2)
 
 
 class TestStrip:
@@ -174,3 +176,19 @@ class TestStrip:
         assert list(out.columns) == ["doc_id", "lang", "text"]
         assert list(out["lang"]) == ["en", "fr"]
         assert "common tail" not in out["text"].iloc[0]
+
+    def test_strip_preserves_large_string_type(self, ray_session):
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["p q shared bit here", "r s shared bit there"],
+                pa.large_string(),
+            ),
+        })
+        out = find_duplicate_spans(
+            ray.data.from_arrow(docs), k=2, min_count=2, mode="strip",
+        )
+        # modified AND untouched blocks must keep the input column type
+        assert out.schema().types[1] == pa.large_string()
+        got = out.to_pandas().sort_values("doc_id")
+        assert "shared bit" not in got["text"].iloc[0]
