@@ -1229,6 +1229,23 @@ def q_dedup_substring(sf_dir: str):
     )
 
 
+def q_select_budget(sf_dir: str):
+    """Token-budget curation: fill a 12k-token training budget with the
+    highest-n_chars documents (ties broken by doc_id — a total order).
+    One range sort of (id, score, n_tokens) triples, O(blocks) driver
+    integers, and the final fetch reads ONLY blocks still under budget
+    (functions/selection.py:budget_select)."""
+    from plugin_debezium_ray.functions.selection import budget_select
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    return budget_select(
+        docs, budget=12_000, score_col="n_chars", id_col="doc_id",
+    )
+
+
 def q_sample_fixed_per_group(sf_dir: str):
     """Exactly-n-per-group deterministic sampling: rank each language's
     docs by hash(doc_id) (a stable pseudo-random order) and keep the
@@ -1688,7 +1705,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so it takes the window slot of text_token_count (hash-green
         # in BOTH r3 and r4, now in the tail)
         "dedup_substring": q_dedup_substring,
-        "text_quality": q_text_quality,
+        # select_budget is NEW in round 5 and never driver-verified, so
+        # it takes the window slot of text_quality (hash-green in BOTH
+        # r3 and r4, now in the tail)
+        "select_budget": q_select_budget,
         # window_join_events is NEW in round 5 and never driver-
         # verified, so it takes the window slot of text_fingerprint
         # (hash-green in BOTH r3 and r4, now in the tail)
@@ -1717,12 +1737,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned with an r4 driver row)
         "dedup_semantic": q_dedup_semantic,
         "agg_approx_distinct": q_agg_approx_distinct,
-        # text_fingerprint / text_token_count ceded their window slots
-        # to the never-verified window_join_events / dedup_substring;
-        # both stay oracle-registered (the local gate still value-
-        # checks them) and were driver-hash-green in r3 AND r4
+        # text_fingerprint / text_token_count / text_quality ceded
+        # their window slots to the never-verified window_join_events /
+        # dedup_substring / select_budget; all three stay oracle-
+        # registered (the local gate still value-checks them) and were
+        # driver-hash-green in r3 AND r4
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
         "dedup_incremental": q_dedup_incremental,
         "profile_events": q_profile_events,
         "ann_pq": q_ann_pq,
@@ -2016,6 +2038,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents
+        """,
+        "select_budget": """
+            WITH m AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS n_tokens
+              FROM documents WHERE n_chars IS NOT NULL
+            ), c AS (
+              SELECT doc_id, n_chars, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+              FROM m
+            )
+            SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM c WHERE cum <= 12000
         """,
         "dedup_substring": """
             WITH w AS (

@@ -296,6 +296,7 @@ def _suite(sf_dir: str) -> dict[str, float]:
         "dedup_incremental",
         "profile_events",
         "dedup_substring",
+        "select_budget",
     ]
     import ray.data as _rd
 

@@ -556,3 +556,138 @@ def mixture_resample(
         return t.filter(pa.array(h < row_cut))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- budget selection
+
+
+class _AssignBudget:
+    """Second scan pass of ``budget_select``: fetch sorted block i,
+    keep the prefix of rows whose running token total (seeded with the
+    block's exclusive base) stays within the budget."""
+
+    def __init__(self, refs, token_col: str, budget: int):
+        self.refs = refs
+        self.token_col = token_col
+        self.budget = int(budget)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, base in zip(batch["i"].to_pylist(),
+                           batch["base"].to_pylist()):
+            t = ray.get(self.refs[i])
+            if t.num_rows == 0:
+                continue
+            n = t[self.token_col].to_numpy(zero_copy_only=False)
+            cum = np.int64(base) + np.cumsum(n.astype(np.int64))
+            keep = cum <= self.budget
+            if not keep.any():
+                continue
+            outs.append(t.filter(pa.array(keep)))
+        if not outs:
+            return pa.table({})  # empty marker; seeded downstream
+        return pa.concat_tables(outs)
+
+
+def budget_select(
+    ds: "ray.data.Dataset",
+    *,
+    budget: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    token_col: "str | None" = None,
+    text_col: str = "text",
+    descending: bool = True,
+    concurrency: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Deterministic token-budget curation: order the corpus by
+    ``(score_col`` desc (or asc), ``id_col`` asc) — a TOTAL order, so
+    ties are stable — and keep the maximal prefix whose cumulative
+    token count stays ≤ ``budget`` (the first row that would cross the
+    budget is excluded, SQL ``sum(...) OVER (ORDER BY ...) <= budget``
+    semantics).  The "fill a training-token budget with the best
+    documents" primitive.
+
+    Returns ``(id_col, score_col, n_tokens)`` rows of the selected
+    prefix (``token_col``'s own name when given).  Null scores are
+    dropped before the sort (they have no defined rank); null
+    text/token counts cost 0 tokens (``pack_sequences`` convention).
+
+    Scale shape — the ``pack_sequences``/``global_order_rank`` scan:
+    ONE range sort of 24-byte (id, score, n) triples (text never rides
+    the shuffle), a parallel per-block token-total pass, an O(blocks)
+    driver fold into exclusive prefix bases, then a parallel filtered
+    fetch that reads ONLY blocks whose base is still under budget —
+    with budget ≪ corpus the tail blocks are never fetched at all."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from plugin_debezium_ray.functions.packing import _block_token_total
+    from plugin_debezium_ray.functions.text import token_count_batch
+
+    if token_col is None:
+        token_col = "n_tokens"
+
+        def count(t: pa.Table) -> pa.Table:
+            c = token_count_batch(t, text_col=text_col)
+            n = pc.fill_null(c["n_tokens"], 0)
+            out = pa.table({
+                id_col: t[id_col], score_col: t[score_col],
+                "n_tokens": n,
+            })
+            return out.filter(pc.is_valid(out[score_col]))
+
+        counted = ds.map_batches(count, batch_format="pyarrow")
+    else:
+        def project(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                id_col: t[id_col], score_col: t[score_col],
+                token_col: pc.fill_null(t[token_col], 0),
+            })
+            return out.filter(pc.is_valid(out[score_col]))
+
+        counted = ds.map_batches(project, batch_format="pyarrow")
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    tok_type = types.get(token_col) if token_col in types else pa.int64()
+    if not isinstance(tok_type, pa.DataType):
+        tok_type = pa.int64()
+    seed_cols = {
+        id_col: types.get(id_col), score_col: types.get(score_col),
+        token_col: tok_type,
+    }
+    seed = pa.table({
+        c: pa.array([], t if isinstance(t, pa.DataType) else pa.int64())
+        for c, t in seed_cols.items()
+    })
+
+    refs = (
+        counted.sort([score_col, id_col], descending=[descending, False])
+        .materialize()
+        .to_arrow_refs()
+    )
+    totals = ray.get(
+        [_block_token_total.remote(r, token_col) for r in refs]
+    )
+    bases = np.concatenate([[0], np.cumsum(totals[:-1], dtype=np.int64)]) \
+        if totals else np.zeros(0, dtype=np.int64)
+    # block-level pruning: a block whose exclusive base already meets
+    # the budget contributes nothing — never fetch it
+    items = [
+        {"i": i, "base": int(b)}
+        for i, b in enumerate(bases) if b < budget
+    ]
+    if not items:
+        return ray.data.from_arrow(seed)
+    out = ray.data.from_items(
+        items, override_num_blocks=len(items)
+    ).map_batches(
+        _AssignBudget,
+        fn_constructor_kwargs={
+            "refs": refs, "token_col": token_col, "budget": budget,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency or max(1, min(len(items), 16)),
+    )
+    return out.union(ray.data.from_arrow(seed))
