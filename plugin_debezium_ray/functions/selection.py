@@ -573,11 +573,13 @@ class _AssignBudget:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = []
+        fallback = None  # a typed block to derive an empty result from
         for i, base in zip(batch["i"].to_pylist(),
                            batch["base"].to_pylist()):
             t = ray.get(self.refs[i])
             if t.num_rows == 0:
                 continue
+            fallback = t
             n = t[self.token_col].to_numpy(zero_copy_only=False)
             cum = np.int64(base) + np.cumsum(n.astype(np.int64))
             keep = cum <= self.budget
@@ -585,7 +587,12 @@ class _AssignBudget:
                 continue
             outs.append(t.filter(pa.array(keep)))
         if not outs:
-            return pa.table({})  # empty marker; seeded downstream
+            # typed empty (the pack_sequences convention): slicing a
+            # real sorted block keeps the ACTUAL output schema, so an
+            # all-filtered run never emits schema-less markers
+            if fallback is not None:
+                return fallback.slice(0, 0)
+            return pa.table({})
         return pa.concat_tables(outs)
 
 
@@ -628,37 +635,44 @@ def budget_select(
         token_col = "n_tokens"
 
         def count(t: pa.Table) -> pa.Table:
-            c = token_count_batch(t, text_col=text_col)
+            # drop null-score rows BEFORE tokenizing (no regex work on
+            # rows that cannot rank), and tokenize a single-column view
+            # so a pre-existing n_tokens column cannot collide
+            t = t.filter(pc.is_valid(t[score_col]))
+            c = token_count_batch(t.select([text_col]), text_col=text_col)
             n = pc.fill_null(c["n_tokens"], 0)
-            out = pa.table({
+            return pa.table({
                 id_col: t[id_col], score_col: t[score_col],
                 "n_tokens": n,
             })
-            return out.filter(pc.is_valid(out[score_col]))
 
         counted = ds.map_batches(count, batch_format="pyarrow")
     else:
         def project(t: pa.Table) -> pa.Table:
-            out = pa.table({
+            t = t.filter(pc.is_valid(t[score_col]))
+            return pa.table({
                 id_col: t[id_col], score_col: t[score_col],
                 token_col: pc.fill_null(t[token_col], 0),
             })
-            return out.filter(pc.is_valid(out[score_col]))
 
         counted = ds.map_batches(project, batch_format="pyarrow")
 
+    # the seed is used ONLY for a zero-block (empty-corpus) input —
+    # every non-empty run derives empties from real sorted blocks.
+    # pack_sequences' guards: schema() may be None, and pandas-block
+    # datasets report Python types → fall back to int64 (the computed
+    # n_tokens column is always int64 by token_count_batch's cast)
     sch = ds.schema()
-    types = dict(zip(sch.names, sch.types))
-    tok_type = types.get(token_col) if token_col in types else pa.int64()
-    if not isinstance(tok_type, pa.DataType):
-        tok_type = pa.int64()
-    seed_cols = {
-        id_col: types.get(id_col), score_col: types.get(score_col),
-        token_col: tok_type,
-    }
+    types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+
+    def _typ(c, default=pa.int64()):
+        t = types.get(c)
+        return t if isinstance(t, pa.DataType) else default
+
     seed = pa.table({
-        c: pa.array([], t if isinstance(t, pa.DataType) else pa.int64())
-        for c, t in seed_cols.items()
+        id_col: pa.array([], _typ(id_col)),
+        score_col: pa.array([], _typ(score_col)),
+        token_col: pa.array([], _typ(token_col)),
     })
 
     refs = (
@@ -669,16 +683,24 @@ def budget_select(
     totals = ray.get(
         [_block_token_total.remote(r, token_col) for r in refs]
     )
+    from plugin_debezium_ray.functions.packing import _block_rows
+    rows = ray.get([_block_rows.remote(r) for r in refs])
     bases = np.concatenate([[0], np.cumsum(totals[:-1], dtype=np.int64)]) \
         if totals else np.zeros(0, dtype=np.int64)
-    # block-level pruning: a block whose exclusive base already meets
-    # the budget contributes nothing — never fetch it
+    # block-level pruning: a block whose exclusive base already EXCEEDS
+    # the budget contributes nothing — never fetch it.  `<=`, not `<`:
+    # a zero-token row whose cumulative total lands exactly ON the
+    # budget is selected (`cum <= budget`), and its block's base may
+    # equal the budget — the in-block mask decides, the prune must not
+    # zero-ROW blocks are pruned too (Ray sort emits schema-less empty
+    # blocks; a probe task holding only one would emit a schema-less
+    # marker into the output stream)
     items = [
         {"i": i, "base": int(b)}
-        for i, b in enumerate(bases) if b < budget
+        for i, b in enumerate(bases) if b <= budget and rows[i] > 0
     ]
     if not items:
-        return ray.data.from_arrow(seed)
+        return ray.data.from_arrow(seed)  # zero-block (empty) corpus
     out = ray.data.from_items(
         items, override_num_blocks=len(items)
     ).map_batches(
@@ -690,4 +712,4 @@ def budget_select(
         batch_size=1,
         concurrency=concurrency or max(1, min(len(items), 16)),
     )
-    return out.union(ray.data.from_arrow(seed))
+    return out

@@ -119,6 +119,40 @@ class TestBudgetSelect:
         assert got["doc_id"].tolist() == [1, 2, 3]
         assert list(got.columns) == ["doc_id", "score", "my_toks"]
 
+    def test_zero_token_row_at_exact_budget_kept(self, ray_session):
+        # cum after doc2 == budget exactly; doc3 has 0 tokens so its
+        # cum is ALSO == budget -> the oracle keeps it (cum <= budget).
+        # Regression: `base < budget` block pruning dropped it whenever
+        # a block boundary landed exactly on the budget
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "score": pa.array([9, 8, 7], pa.int64()),
+            "text": ["a b c d", "e f g h", None],
+        })
+        for parts in (1, 2, 3):
+            got = budget_select(
+                ray.data.from_arrow(docs).repartition(parts),
+                budget=8, score_col="score",
+            ).to_pandas().sort_values("doc_id")
+            assert got["doc_id"].tolist() == [1, 2, 3], parts
+        exp = _oracle(docs, 8)
+        assert exp["doc_id"].tolist() == [1, 2, 3]
+
+    def test_existing_n_tokens_column_no_collision(self, ray_session):
+        # token_col=None computes its own n_tokens; a pre-existing
+        # column of that name in the input must not break the count map
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "score": pa.array([2, 1], pa.int64()),
+            "n_tokens": pa.array([999, 999], pa.int64()),  # bogus
+            "text": ["a b c", "d e f"],
+        })
+        got = budget_select(
+            ray.data.from_arrow(docs), budget=6, score_col="score",
+        ).to_pandas().sort_values("doc_id")
+        assert got["doc_id"].tolist() == [1, 2]
+        assert got["n_tokens"].tolist() == [3, 3]  # computed, not 999
+
     def test_budget_validation(self, ray_session):
         docs = _docs(n=10)
         with pytest.raises(ValueError, match="budget"):
