@@ -108,6 +108,64 @@ def _merged_spans(
     return di[heads], pos[heads], pos[tails] + k - 1
 
 
+def gram_count_sketch(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    k: int = 12,
+    counters: int = 1 << 24,
+) -> np.ndarray:
+    """ONE shuffle-free pass building a saturating {0, 1, 2+} counting
+    sketch over the corpus' gram hashes: each gram occurrence bumps TWO
+    cells (``h0 % m`` and ``h1 % m``, capped at 2); per-block partial
+    sketches fold through Ray's aggregation tree by saturating add —
+    only ``counters`` bytes per block move, never a gram row.
+
+    A gram with total count ≥ 2 ALWAYS ends with both its cells ≥ 2
+    (increments are non-negative and saturating) — so filtering on
+    ``min(cell0, cell1) >= 2`` yields a SUPERSET of the true duplicated
+    grams: false positives only (two colliding unique grams), never
+    false negatives.  Exactness survives because the exact groupby
+    count downstream discards the false candidates."""
+    from ray.data.aggregate import AggregateFn
+
+    m = np.uint64(counters)
+
+    def _acc(sk: np.ndarray, block) -> np.ndarray:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        _, _, h0, h1 = _positional_gram_lanes(
+            block[text_col].to_pylist(), k
+        )
+        if len(h0) == 0:
+            return sk
+        sk = sk.copy()
+        for lane in (h0, h1):
+            # per-cell increments via unique+counts (capped at 2):
+            # plain np.add.at on uint8 could wrap past 255 when many
+            # colliding grams share a cell, silently UNDER-counting —
+            # which would break the no-false-negative guarantee
+            uidx, ucnt = np.unique(
+                (lane % m).astype(np.int64), return_counts=True
+            )
+            inc = np.minimum(ucnt, 2).astype(np.uint8)
+            sk[uidx] = np.minimum(sk[uidx] + inc, 2)
+        return sk
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(counters, dtype=np.uint8),
+        accumulate_block=_acc,
+        merge=lambda a, b: np.minimum(
+            a.astype(np.uint8) + b.astype(np.uint8), 2
+        ),
+        name="gram_sketch",
+    )
+    out = ds.aggregate(agg)
+    if out is None:  # Ray 2.49: aggregate over an empty dataset
+        return np.zeros(counters, dtype=np.uint8)
+    return np.asarray(out["gram_sketch"], dtype=np.uint8)
+
+
 def duplicated_grams(
     ds: "ray.data.Dataset",
     *,
@@ -116,6 +174,8 @@ def duplicated_grams(
     min_count: int = 2,
     num_partitions: int = 64,
     batch_size: int = 4096,
+    gram_filter: str = "exact",
+    sketch_counters: int = 1 << 24,
 ) -> "ray.data.Dataset":
     """Pass 1: Dataset of (h0, h1) hash pairs of every k-gram occurring
     at ≥ ``min_count`` positions corpus-wide.  Per-batch pre-combine →
@@ -126,16 +186,45 @@ def duplicated_grams(
     repeated grams before the shuffle AND produce fewer shuffle input
     blocks (the sort-based groupby's task count tracks block count —
     default-sized 1k-row batches measured 6.7 s of pure scheduling on
-    a 215k-gram corpus vs ~1 s at 4096)."""
+    a 215k-gram corpus vs ~1 s at 4096).
+
+    ``gram_filter="sketch"`` prepends a ``gram_count_sketch`` pass and
+    ships ONLY candidate grams (sketch count ≥ 2 in both cells — a
+    strict superset of the true dups, so results are IDENTICAL to the
+    exact lane) into the count groupby.  Trade: one extra tokenize scan
+    buys an exchange of ~|duplicated grams| rows instead of ~|tokens|
+    rows — the win whenever dups are a small fraction (natural text:
+    typically a few %).  Honest bound: the dense sketch works while
+    distinct grams ≲ ``sketch_counters``/8 (size it ≥ 8–16× distinct
+    grams) and its per-block fold traffic is ``counters`` bytes/block —
+    beyond ~10^10 distinct grams prefer the exact exchange (range
+    sort-shuffles stream and spill) or shard the sketch across a
+    stateful actor pool (the ``streaming_apply`` pattern)."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     if k < 1:
         # fail fast at the driver — k<=0 would otherwise surface as an
         # opaque IndexError inside a Ray map task mid-job
         raise ValueError(f"k must be >= 1, got {k}")
+    if gram_filter not in ("exact", "sketch"):
+        raise ValueError(
+            f"gram_filter must be 'exact' or 'sketch', got {gram_filter!r}"
+        )
+    sketch_ref = None
+    if gram_filter == "sketch":
+        sk = gram_count_sketch(
+            ds, text_col=text_col, k=k, counters=sketch_counters,
+        )
+        sketch_ref = ray.put(sk)
+        sm = np.uint64(sketch_counters)
 
     def gram_counts(t: pa.Table) -> pa.Table:
         _, _, h0, h1 = _positional_gram_lanes(t[text_col].to_pylist(), k)
+        if sketch_ref is not None and len(h0):
+            sk = ray.get(sketch_ref)  # zero-copy plasma view per worker
+            cand = (sk[(h0 % sm).astype(np.int64)] >= 2) \
+                & (sk[(h1 % sm).astype(np.int64)] >= 2)
+            h0, h1 = h0[cand], h1[cand]
         if len(h0) == 0:
             return pa.table({
                 "h0": pa.array([], pa.uint64()),
@@ -272,6 +361,8 @@ def find_duplicate_spans(
     dup_max_grams: int = 4_000_000,
     batch_size: int = 4096,
     mode: str = "stats",
+    gram_filter: str = "exact",
+    sketch_counters: int = 1 << 24,
 ) -> "ray.data.Dataset":
     """Corpus-wide duplicated-span report or removal (module docstring
     has the full two-pass shape).
@@ -294,7 +385,10 @@ def find_duplicate_spans(
     fit a task — raise ``num_partitions`` with the corpus.  The input
     schema is resolved eagerly (for the typed empty-result seed) —
     materialize a lazy input whose upstream is expensive first, the
-    ``window_join`` contract."""
+    ``window_join`` contract.  ``gram_filter="sketch"`` prepends a
+    fixed-size counting-sketch prefilter so only candidate grams ride
+    the count exchange — identical results, see ``duplicated_grams``
+    for the trade and its honest scale bound."""
     if mode not in ("stats", "strip"):
         raise ValueError(f"mode must be 'stats' or 'strip', got {mode!r}")
     from plugin_debezium_ray.smallfetch import fetch_small_table
@@ -321,6 +415,7 @@ def find_duplicate_spans(
     dups = duplicated_grams(
         ds, text_col=text_col, k=k, min_count=min_count,
         num_partitions=num_partitions, batch_size=batch_size,
+        gram_filter=gram_filter, sketch_counters=sketch_counters,
     ).materialize()
     n_dups = dups.count()
     if n_dups > dup_max_grams:

@@ -140,6 +140,31 @@ class TestDuplicateSpanStats:
             _run(docs, 0, 2)
 
 
+class TestSketchPrefilter:
+    def test_sketch_lane_identical_to_exact(self, ray_session):
+        docs = _corpus()
+        for k, mc in ((3, 2), (4, 3)):
+            exact = _run(docs, k, mc)
+            sketched = _run(docs, k, mc, gram_filter="sketch",
+                            sketch_counters=1 << 16)
+            pd.testing.assert_frame_equal(exact, sketched)
+
+    def test_tiny_sketch_still_exact(self, ray_session):
+        # a deliberately undersized sketch (massive collision rate =
+        # many false candidates) must STILL give exact results — the
+        # downstream exact count discards every false positive
+        docs = _corpus()
+        exact = _run(docs, 3, 2)
+        sketched = _run(docs, 3, 2, gram_filter="sketch",
+                        sketch_counters=64)
+        pd.testing.assert_frame_equal(exact, sketched)
+
+    def test_bad_filter_name_raises(self, ray_session):
+        docs = _corpus(n_docs=10)
+        with pytest.raises(ValueError, match="gram_filter"):
+            _run(docs, 3, 2, gram_filter="bogus")
+
+
 class TestStrip:
     def test_strip_removes_exactly_covered_tokens(self, ray_session):
         docs = _corpus()
