@@ -139,7 +139,12 @@ def gram_count_sketch(
         )
         if len(h0) == 0:
             return sk
-        sk = sk.copy()
+        if not sk.flags.writeable:
+            # copy ONLY when the accumulator is a read-only plasma view
+            # (post-merge); the fresh np.zeros from init is writable —
+            # an unconditional copy would memcpy `counters` bytes per
+            # block for nothing
+            sk = sk.copy()
         for lane in (h0, h1):
             # per-cell increments via unique+counts (capped at 2):
             # plain np.add.at on uint8 could wrap past 255 when many
@@ -164,6 +169,24 @@ def gram_count_sketch(
     if out is None:  # Ray 2.49: aggregate over an empty dataset
         return np.zeros(counters, dtype=np.uint8)
     return np.asarray(out["gram_sketch"], dtype=np.uint8)
+
+
+_SKETCH_CACHE: dict = {}
+
+
+def _sketch_view(ref) -> np.ndarray:
+    """Once-per-worker fetch of the broadcast sketch (the
+    ``_cached_probe`` idiom for a plain function): the cached value is
+    a zero-copy view into plasma, so the retained heap is ~0.  One
+    entry is enough — concurrent substring jobs are rare, and a rebuild
+    after eviction is a local plasma lookup, not a rebuild."""
+    key = ref.hex()
+    sk = _SKETCH_CACHE.get(key)
+    if sk is None:
+        _SKETCH_CACHE.clear()
+        sk = ray.get(ref)
+        _SKETCH_CACHE[key] = sk
+    return sk
 
 
 def duplicated_grams(
@@ -210,6 +233,13 @@ def duplicated_grams(
         raise ValueError(
             f"gram_filter must be 'exact' or 'sketch', got {gram_filter!r}"
         )
+    if gram_filter == "sketch" and sketch_counters < 1:
+        # fail fast at the driver (the k-guard convention): a
+        # non-positive size would otherwise die as an opaque modulo /
+        # IndexError inside a remote aggregate task
+        raise ValueError(
+            f"sketch_counters must be >= 1, got {sketch_counters}"
+        )
     sketch_ref = None
     if gram_filter == "sketch":
         sk = gram_count_sketch(
@@ -221,7 +251,7 @@ def duplicated_grams(
     def gram_counts(t: pa.Table) -> pa.Table:
         _, _, h0, h1 = _positional_gram_lanes(t[text_col].to_pylist(), k)
         if sketch_ref is not None and len(h0):
-            sk = ray.get(sketch_ref)  # zero-copy plasma view per worker
+            sk = _sketch_view(sketch_ref)  # once-per-worker plasma view
             cand = (sk[(h0 % sm).astype(np.int64)] >= 2) \
                 & (sk[(h1 % sm).astype(np.int64)] >= 2)
             h0, h1 = h0[cand], h1[cand]

@@ -163,6 +163,8 @@ class TestSketchPrefilter:
         docs = _corpus(n_docs=10)
         with pytest.raises(ValueError, match="gram_filter"):
             _run(docs, 3, 2, gram_filter="bogus")
+        with pytest.raises(ValueError, match="sketch_counters"):
+            _run(docs, 3, 2, gram_filter="sketch", sketch_counters=0)
 
 
 class TestStrip:
